@@ -1,0 +1,128 @@
+"""Iterative spectral enhancement ("Fat Llama"-equivalent) — XLA FFT loop.
+
+The reference delegates this workload to the ``fat_llama`` (CuPy/cuFFT)
+and ``fat_llama_fftw`` (FFTW) packages through a file-based API
+(``egregora_fat_llama_gpu.py:161-224``, ``egregora_fat_llama_cpu.py:77-134``),
+which the reference only pins by its knobs (max_iterations,
+threshold_value, target_bitrate_kbps, toggle_normalize,
+toggle_autoscale) and its output-scaling behavior.  Here the algorithm
+is defined precisely and runs as ONE array-in/array-out XLA program —
+no temp-file round trips, one implementation for TPU and CPU backends
+(replacing the reference's GPU/CPU node split).
+
+Algorithm — iterative soft-thresholding (IST) sparse spectral recovery:
+
+1. The input at rate ``sr`` is treated as a subsampled measurement of a
+   signal at ``sr * factor`` where ``factor = round(target_bitrate_kbps
+   / source_bitrate_kbps)`` (source bitrate assumes 16-bit PCM, the
+   reference packages' convention).
+2. The iterate is initialized with a polyphase lowpass interpolation of
+   the observations (regular subsampling aliases coherently, so a
+   zero-stuffed init leaves IST at a symmetric fixed point — the
+   interpolated init breaks the image/true-peak tie, as the reference
+   packages' scipy-interpolate preprocessing does).
+3. Iterative hard-thresholding (IHT) steps with the subsampling
+   operator A:
+   ``z = x  with known sample positions clamped to the observations``
+   (the gradient step ``x + A^T(y - A x)`` for a subsampling A),
+   ``X = rfft(z) * (|rfft(z)| >= tau)`` with ``tau = threshold_value *
+   max|X|`` — a magnitude *gate*, which (unlike soft shrinkage) leaves
+   surviving peaks unbiased so tonal content keeps its amplitude,
+   ``x = irfft(X)``.
+   Strong spectral peaks survive and are extrapolated into the new band
+   ("fattening"); weak content and imaging noise are gated away.
+4. Post passes fused into the same program: ``normalize`` (peak-protect
+   to <= ``peak_ceiling``) and ``autoscale`` (match output RMS to input
+   RMS), mirroring the reference's always-on normalization node policy
+   (gpu node :212, :232-233) and its write-patch rescale
+   (gpu node :188-208).
+
+Each iteration costs 2 real FFTs — this is the benchmark workload for
+the driver's "Fat Llama FFT iters/s" metric (BASELINE.json configs[0]).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .resample import resample_poly
+
+
+def source_bitrate_kbps(sr: int, channels: int, bit_depth: int = 16) -> float:
+    return sr * bit_depth * channels / 1000.0
+
+
+def upscale_factor(sr: int, channels: int, target_bitrate_kbps: int,
+                   bit_depth: int = 16) -> int:
+    """Integer rate multiplier implied by the target bitrate (>= 1)."""
+    src = source_bitrate_kbps(sr, channels, bit_depth)
+    return max(1, int(round(target_bitrate_kbps / src)))
+
+
+def _next_pow2(n: int) -> int:
+    m = 1
+    while m < n:
+        m <<= 1
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("factor", "max_iterations"))
+def ist_upscale(x_cs: jnp.ndarray, factor: int, max_iterations: int,
+                threshold_value: jnp.ndarray | float) -> jnp.ndarray:
+    """IST spectral recovery of ``[C, S]`` onto a ``factor``-times grid.
+
+    Returns ``[C, S * factor]`` float32.  ``threshold_value`` may be a
+    traced scalar; ``factor``/``max_iterations`` are static.
+    """
+    c, s = x_cs.shape
+    n_up = s * factor
+    n_fft = _next_pow2(n_up)
+
+    pos = jnp.arange(s) * factor
+    y_obs = x_cs.astype(jnp.float32)
+
+    # lowpass-interpolated init (see module docstring, step 2)
+    interp = resample_poly(y_obs, 1, factor) if factor > 1 else y_obs
+    x0 = jnp.zeros((c, n_fft), jnp.float32).at[:, :n_up].set(interp[:, :n_up])
+    thr = jnp.float32(threshold_value)
+
+    def body(_, x):
+        # gradient step for subsampling A: clamp known positions
+        z = x.at[:, pos].set(y_obs)
+        spec = jnp.fft.rfft(z, axis=-1)
+        mag = jnp.abs(spec)
+        tau = thr * jnp.max(mag, axis=-1, keepdims=True)
+        spec = spec * (mag >= tau)
+        return jnp.fft.irfft(spec, n=n_fft, axis=-1).astype(jnp.float32)
+
+    x = jax.lax.fori_loop(0, max_iterations, body, x0)
+    # final data consistency, then crop padding
+    x = x.at[:, pos].set(y_obs)
+    return x[:, :n_up]
+
+
+@functools.partial(jax.jit, static_argnames=("factor", "max_iterations",
+                                             "toggle_normalize", "toggle_autoscale"))
+def spectral_enhance(x_cs: jnp.ndarray, factor: int, max_iterations: int,
+                     threshold_value: float, toggle_normalize: bool = True,
+                     toggle_autoscale: bool = True,
+                     peak_ceiling: float = 0.99) -> jnp.ndarray:
+    """Full enhance pass: IST upscale + fused normalize/autoscale.
+
+    Mirrors the reference node contract (gpu node :234-250): returns
+    ``[C, S*factor]`` at ``sr*factor``; callers resample/deliver.
+    """
+    in_rms = jnp.sqrt(jnp.mean(jnp.square(x_cs)) + 1e-20)
+    y = ist_upscale(x_cs, factor, max_iterations, threshold_value)
+    if toggle_autoscale:
+        out_rms = jnp.sqrt(jnp.mean(jnp.square(y)) + 1e-20)
+        y = y * (in_rms / out_rms)
+    if toggle_normalize:
+        peak = jnp.max(jnp.abs(y))
+        scale = jnp.where(peak > peak_ceiling, peak_ceiling / (peak + 1e-20), 1.0)
+        y = y * scale
+    return y.astype(jnp.float32)

@@ -1,0 +1,101 @@
+"""STFT / iSTFT / framing — jittable, batched, reference-compatible.
+
+Replaces the reference's per-frame Python STFT loop
+(``egregora_audio_eval_pack.py:389-402`` and its duplicate in the null
+suite :167-180) with a single gather + batched ``rfft`` that XLA maps
+onto the TPU.  Framing convention matches the reference exactly:
+
+* ``frames = 1 + max(0, (N - n_fft) // hop)`` — no centering, the tail
+  that doesn't fill a frame is dropped; if ``N < n_fft`` the single
+  frame is zero-padded.
+* window = ``np.hanning`` (symmetric Hann, endpoints zero).
+
+The full complex STFT/iSTFT pair (used by WPE and the FlashSR vocoder
+front-end) adds a periodic-Hann WOLA iSTFT with correct weight
+normalization.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=32)
+def hann_symmetric(n: int) -> np.ndarray:
+    """``np.hanning``-style symmetric Hann window (zeros at both ends)."""
+    return np.hanning(n).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def hann_periodic(n: int) -> np.ndarray:
+    """Periodic Hann (DFT-even) — perfect-reconstruction WOLA window."""
+    k = np.arange(n, dtype=np.float64)
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * k / n))).astype(np.float32)
+
+
+def num_frames(n: int, n_fft: int, hop: int) -> int:
+    return 1 + max(0, (n - n_fft) // hop)
+
+
+def frame(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """``[..., N] -> [..., frames, n_fft]`` via gather (reference framing)."""
+    n = x.shape[-1]
+    f = num_frames(n, n_fft, hop)
+    if n < n_fft:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n_fft - n)])
+    idx = jnp.arange(f)[:, None] * hop + jnp.arange(n_fft)[None, :]
+    return jnp.take(x, idx, axis=-1)
+
+
+def stft(x: jnp.ndarray, n_fft: int = 2048, hop: int = 512, *,
+         window: str = "hann") -> jnp.ndarray:
+    """Complex STFT ``[..., N] -> [..., frames, n_fft//2+1]``."""
+    w = hann_periodic(n_fft) if window == "hann_periodic" else hann_symmetric(n_fft)
+    fr = frame(x, n_fft, hop) * jnp.asarray(w)
+    return jnp.fft.rfft(fr, axis=-1)
+
+
+def stft_mag(x: jnp.ndarray, n_fft: int = 2048, hop: int = 512) -> jnp.ndarray:
+    """Magnitude STFT in the reference's orientation ``[..., freqs, frames]``.
+
+    Bit-compatible with ``_stft_mag`` (eval pack :389-402): mono input,
+    symmetric Hann, tail-drop framing.
+    """
+    s = stft(x, n_fft, hop, window="hann")
+    return jnp.abs(s).swapaxes(-1, -2).astype(jnp.float32)
+
+
+def istft(spec: jnp.ndarray, n_fft: int, hop: int, length: int, *,
+          window: str = "hann_periodic") -> jnp.ndarray:
+    """WOLA inverse STFT ``[..., frames, n_fft//2+1] -> [..., length]``.
+
+    Uses squared-window overlap-add normalization (synthesis window ==
+    analysis window) so ``istft(stft(x)) == x`` away from the edges for
+    any hop that covers the signal.
+    """
+    w = jnp.asarray(hann_periodic(n_fft) if window == "hann_periodic"
+                    else hann_symmetric(n_fft))
+    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * w  # [..., F, n_fft]
+    f = frames.shape[-2]
+    total = (f - 1) * hop + n_fft
+    pos = (jnp.arange(f)[:, None] * hop + jnp.arange(n_fft)[None, :]).reshape(-1)
+
+    lead_shape = frames.shape[:-2]
+    flat = frames.reshape((-1, f * n_fft))
+    acc = jax.vmap(lambda fr: jnp.zeros(total, frames.dtype).at[pos].add(fr))(flat)
+    wsum = jnp.zeros(total, w.dtype).at[pos].add(jnp.tile(w * w, f))
+    wsum = jnp.where(wsum > 1e-8, wsum, 1.0)
+    out = (acc / wsum[None, :]).reshape(lead_shape + (total,))
+    if total >= length:
+        return out[..., :length]
+    return jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, length - total)])
+
+
+def spectrogram_db(x: jnp.ndarray, n_fft: int = 2048, hop: int = 512,
+                   floor: float = 1e-9) -> jnp.ndarray:
+    """20*log10(|STFT|) in the reference plotter's convention (null suite :532-534)."""
+    return 20.0 * jnp.log10(stft_mag(x, n_fft, hop) + floor)

@@ -1,0 +1,62 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egregora_tpu.core.audio import AudioBuffer, from_any, make_audio, normalize_cn, to_cs
+
+
+def test_normalize_cn_shapes():
+    assert normalize_cn(np.zeros(100)).shape == (1, 100)
+    assert normalize_cn(np.zeros((100, 2))).shape == (2, 100)   # frames-first
+    assert normalize_cn(np.zeros((2, 100))).shape == (2, 100)
+    assert normalize_cn(np.zeros((1, 2, 100))).shape == (2, 100)
+    # >2D: longest axis becomes time
+    assert normalize_cn(np.zeros((3, 2, 100))).shape == (6, 100)
+
+
+def test_to_cs_heuristic_and_clamp():
+    a = np.ones((1000, 2), np.float32) * 2.0
+    cs = to_cs(a)
+    assert cs.shape == (2, 1000)
+    assert np.max(np.abs(cs)) <= 1.0
+
+
+def test_from_any_variants():
+    x = np.random.default_rng(0).standard_normal((2, 480)).astype(np.float32)
+    # waveform dict [B,C,T]
+    buf = from_any({"waveform": x[None], "sample_rate": 44100})
+    assert buf.sample_rate == 44100 and buf.samples.shape == (2, 480)
+    # samples dict
+    buf = from_any({"sr": 16000, "samples": x})
+    assert buf.sample_rate == 16000
+    # tuple
+    buf = from_any((x, 48000))
+    assert buf.samples.shape == (2, 480)
+    # frames-first tuple
+    buf = from_any((x.T, 48000))
+    assert buf.samples.shape == (2, 480)
+    # AudioBuffer passthrough
+    assert from_any(buf) is buf
+    with pytest.raises(ValueError):
+        from_any("nope")
+
+
+def test_audiobuffer_is_pytree_jittable():
+    buf = make_audio(48000, np.ones((2, 32), np.float32), {"stage": "test"})
+
+    @jax.jit
+    def gain(b: AudioBuffer) -> AudioBuffer:
+        return b.with_samples(b.samples * 0.5)
+
+    out = gain(buf)
+    assert out.sample_rate == 48000
+    assert out.meta == {"stage": "test"}
+    np.testing.assert_allclose(out.numpy(), 0.5)
+
+
+def test_to_comfy_contract():
+    buf = make_audio(48000, np.zeros((2, 10), np.float32))
+    d = buf.to_comfy()
+    assert d["waveform"].shape == (1, 2, 10)
+    assert d["sample_rate"] == 48000 and d["sr"] == 48000

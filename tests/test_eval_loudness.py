@@ -1,0 +1,137 @@
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egregora_tpu.eval.loudness import (integrated_lufs, loudness_report, lra_short_term,
+                                        lufs_series, rms_db, true_peak_dbfs)
+from egregora_tpu.ops.iir import ema_smooth, k_weight
+
+
+# ---- reference oracles (re-stated from eval pack :128-214) ----
+
+def ref_k_weight(sr, x_cn):
+    x = x_cn
+    fc = 60.0 / (sr * 0.5)
+    k = math.exp(-2 * math.pi * fc)
+    y = np.zeros_like(x, dtype=np.float32)
+    for c in range(x.shape[0]):
+        xn = x[c].astype(np.float32)
+        yc = np.zeros_like(xn)
+        z = 0.0
+        for n in range(xn.shape[0]):
+            z = (1 - k) * xn[n] + k * z
+            yc[n] = xn[n] - z
+        y[c] = yc
+    y[:, 1:] += 0.02 * (y[:, 1:] - y[:, :-1])
+    return y
+
+
+def ref_integrated_lufs(samples, sr):
+    y = ref_k_weight(sr, samples)
+    mono = y.mean(axis=0)
+    blk = max(1, int(round(0.400 * sr)))
+    hop = max(1, int(round(0.100 * sr)))
+    frames = 1 + max(0, (mono.shape[0] - blk) // hop)
+    ms = []
+    for i in range(frames):
+        s = i * hop
+        seg = mono[s:s + blk].astype(np.float64)
+        ms.append(float(np.mean(seg * seg)))
+    ms = np.asarray(ms) + 1e-20
+    lu = -0.691 + 10.0 * np.log10(np.mean(ms))
+    gate = lu - 10.0
+    mask = (-0.691 + 10.0 * np.log10(ms)) >= gate
+    if np.any(mask):
+        ms = ms[mask]
+    return float(-0.691 + 10.0 * np.log10(np.mean(ms)))
+
+
+@pytest.fixture
+def noisy_sine(rng):
+    sr = 48000
+    t = np.arange(sr * 3) / sr
+    x = (0.3 * np.sin(2 * np.pi * 440 * t)
+         + 0.05 * rng.standard_normal(t.size)).astype(np.float32)
+    return x[None, :], sr
+
+
+def test_k_weight_matches_reference(noisy_sine):
+    x, sr = noisy_sine
+    short = x[:, :4800]
+    ref = ref_k_weight(sr, short.copy())
+    ours = np.asarray(k_weight(sr, jnp.asarray(short)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_integrated_lufs_matches_reference(noisy_sine):
+    x, sr = noisy_sine
+    ref = ref_integrated_lufs(x.copy(), sr)
+    ours = float(integrated_lufs(jnp.asarray(x), sr))
+    assert abs(ours - ref) < 0.01
+
+
+def test_lufs_of_known_sine():
+    """Full-scale 997 Hz sine: mean square = 0.5 => ~ -3.7 LUFS with this
+    K-weight approximation (HPF barely touches 997 Hz)."""
+    sr = 48000
+    t = np.arange(sr * 2) / sr
+    x = np.sin(2 * np.pi * 997.0 * t).astype(np.float32)[None]
+    lufs = float(integrated_lufs(jnp.asarray(x), sr))
+    expect = -0.691 + 10 * np.log10(0.5)
+    assert abs(lufs - expect) < 0.6
+
+
+def test_gain_linearity():
+    """-20 dB gain must move integrated LUFS by exactly -20."""
+    sr = 48000
+    rng = np.random.default_rng(3)
+    x = (0.4 * rng.standard_normal(sr * 2)).astype(np.float32)[None]
+    a = float(integrated_lufs(jnp.asarray(x), sr))
+    b = float(integrated_lufs(jnp.asarray(x * 0.1), sr))
+    assert abs((a - b) - 20.0) < 1e-3
+
+
+def test_series_and_lra(noisy_sine):
+    x, sr = noisy_sine
+    mom = np.asarray(lufs_series(jnp.asarray(x), sr, 0.4, 0.1))
+    assert mom.shape[0] == 1 + (x.shape[1] - int(0.4 * sr)) // int(0.1 * sr)
+    # stationary signal => tiny loudness range
+    assert float(lra_short_term(jnp.asarray(x), sr)) < 0.5
+    # dynamic signal (needs >3 s for multiple short-term frames) => bigger range
+    y = np.tile(x, (1, 4)).copy()
+    y[:, : y.shape[1] // 2] *= 0.05
+    assert float(lra_short_term(jnp.asarray(y), sr)) > 5.0
+
+
+def test_true_peak_intersample():
+    """True peak catches inter-sample overs that the sample peak misses."""
+    sr = 48000
+    t = np.arange(sr) / sr
+    # 11997.5 Hz not aligned to the sample grid -> inter-sample peaks
+    x = (0.99 * np.sin(2 * np.pi * 11997.5 * t + 0.4)).astype(np.float32)[None]
+    tp = float(true_peak_dbfs(jnp.asarray(x), sr, 4))
+    sample_peak_db = 20 * np.log10(np.max(np.abs(x)))
+    assert tp >= sample_peak_db - 0.05
+
+
+def test_loudness_report_keys(noisy_sine):
+    x, sr = noisy_sine
+    rep = loudness_report(jnp.asarray(x), sr)
+    assert set(rep) == {"lufs_integrated", "lufs_momentary", "lufs_short_term",
+                        "lra", "true_peak_dbfs"}
+
+
+def test_ema_smooth_matches_reference():
+    probs = np.random.default_rng(0).uniform(size=50).astype(np.float32)
+    smooth_ms = 50
+    # reference _smooth_vad_probs (extras :207-219)
+    alpha = math.exp(-10.0 / smooth_ms)
+    acc = probs[0]
+    ref = np.empty_like(probs)
+    for i, p in enumerate(probs):
+        acc = alpha * acc + (1 - alpha) * p
+        ref[i] = acc
+    ours = np.asarray(ema_smooth(jnp.asarray(probs), smooth_ms))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
