@@ -32,8 +32,14 @@ def _block_mean_squares(mono: jnp.ndarray, sr: int, window_s: float,
                         hop_s: float) -> jnp.ndarray:
     blk = max(1, int(round(window_s * sr)))
     hop = max(1, int(round(hop_s * sr)))
+    n = mono.shape[-1]
     fr = _frame(mono, blk, hop)            # [frames, blk] (pads if N < blk)
-    return jnp.mean(jnp.square(fr), axis=-1)
+    ms = jnp.mean(jnp.square(fr), axis=-1)
+    if n < blk:
+        # the reference averages only the real samples of a short signal
+        # (seg = y[s:s+blk] is just N long); undo the zero-pad dilution
+        ms = ms * (blk / float(max(n, 1)))
+    return ms
 
 
 @functools.partial(jax.jit, static_argnames=("sr",))

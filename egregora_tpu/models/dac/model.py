@@ -1,0 +1,251 @@
+"""Descript Audio Codec (DAC) in Flax — SURVEY.md #31's TPU equivalent.
+
+The reference shells out to the torch ``dac`` package
+(``egregora_audio_enhance_extras.py:750-857``): auto-download a
+checkpoint per model_type (44khz/24khz/16khz), ``encode`` to latents,
+``decode`` back.  This module implements the DAC architecture natively:
+
+* Encoder: conv stem -> 4 strided blocks of Snake-activated residual
+  units (dilations 1/3/9), channel-doubling per stride.
+* Residual vector quantizer: ``n_codebooks`` stages, each with a
+  low-dim (8) projected codebook of 1024 entries.
+* Decoder: mirrored transposed-conv stack.
+* Strides per model_type match upstream: 44khz (2,4,8,8) hop 512,
+  24khz/16khz (2,4,5,8) hop 320.
+
+Weights: seeded init through the weight store (utils/weights) until a
+converted checkpoint is provided; ``build_dac`` caches per model_type
+like the reference's auto-download cache.  Channels ride the batch
+axis; everything jits.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DACConfig:
+    sample_rate: int = 44100
+    encoder_dim: int = 64
+    strides: Sequence[int] = (2, 4, 8, 8)
+    decoder_dim: int = 1536
+    n_codebooks: int = 9
+    codebook_size: int = 1024
+    codebook_dim: int = 8
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def latent_dim(self) -> int:
+        return self.encoder_dim * (2 ** len(self.strides))
+
+    @property
+    def hop(self) -> int:
+        h = 1
+        for s in self.strides:
+            h *= s
+        return h
+
+
+MODEL_TYPES = {
+    "44khz": DACConfig(sample_rate=44100, strides=(2, 4, 8, 8)),
+    "24khz": DACConfig(sample_rate=24000, strides=(2, 4, 5, 8)),
+    "16khz": DACConfig(sample_rate=16000, strides=(2, 4, 5, 8)),
+}
+
+
+def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """Snake activation ``x + sin^2(alpha x)/alpha`` (periodic inductive
+    bias for audio; DAC/BigVGAN lineage)."""
+    a = alpha[None, None, :]
+    return x + jnp.sin(a * x) ** 2 / (a + 1e-9)
+
+
+class Snake(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", nn.initializers.ones, (self.channels,))
+        return snake(x, alpha)
+
+
+class ResidualUnit(nn.Module):
+    channels: int
+    dilation: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        h = Snake(self.channels)(x)
+        h = nn.Conv(self.channels, (7,), kernel_dilation=(self.dilation,),
+                    dtype=self.dtype)(h)
+        h = Snake(self.channels)(h)
+        h = nn.Conv(self.channels, (1,), dtype=self.dtype)(h)
+        return x + h
+
+
+class EncoderBlock(nn.Module):
+    out_channels: int
+    stride: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        ch = x.shape[-1]
+        for d in (1, 3, 9):
+            x = ResidualUnit(ch, d, self.dtype)(x)
+        x = Snake(ch)(x)
+        return nn.Conv(self.out_channels, (2 * self.stride,),
+                       strides=(self.stride,), dtype=self.dtype)(x)
+
+
+class DecoderBlock(nn.Module):
+    out_channels: int
+    stride: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        x = Snake(x.shape[-1])(x)
+        x = nn.ConvTranspose(self.out_channels, (2 * self.stride,),
+                             strides=(self.stride,), dtype=self.dtype)(x)
+        for d in (1, 3, 9):
+            x = ResidualUnit(self.out_channels, d, self.dtype)(x)
+        return x
+
+
+class DACEncoder(nn.Module):
+    cfg: DACConfig
+
+    @nn.compact
+    def __call__(self, x):
+        """``[B, T, 1] -> [B, T/hop, latent_dim]``."""
+        c = self.cfg
+        h = nn.Conv(c.encoder_dim, (7,), dtype=c.dtype)(x)
+        ch = c.encoder_dim
+        for s in c.strides:
+            ch *= 2
+            h = EncoderBlock(ch, s, c.dtype)(h)
+        h = Snake(ch)(h)
+        return nn.Conv(c.latent_dim, (3,), dtype=c.dtype)(h).astype(jnp.float32)
+
+
+class DACDecoder(nn.Module):
+    cfg: DACConfig
+
+    @nn.compact
+    def __call__(self, z):
+        """``[B, T/hop, latent_dim] -> [B, T]``."""
+        c = self.cfg
+        h = nn.Conv(c.decoder_dim, (7,), dtype=c.dtype)(z)
+        ch = c.decoder_dim
+        for s in reversed(c.strides):
+            ch //= 2
+            h = DecoderBlock(ch, s, c.dtype)(h)
+        h = Snake(ch)(h)
+        h = nn.Conv(1, (7,), dtype=c.dtype)(h)
+        return jnp.tanh(h.astype(jnp.float32))[..., 0]
+
+
+class ResidualVQ(nn.Module):
+    """Residual vector quantization with projected codebooks."""
+    cfg: DACConfig
+
+    @nn.compact
+    def __call__(self, z):
+        """``[B, T, D] -> (z_q [B, T, D], codes [B, n_q, T])``."""
+        c = self.cfg
+        residual = z
+        z_q = jnp.zeros_like(z)
+        codes = []
+        for i in range(c.n_codebooks):
+            proj_in = nn.Dense(c.codebook_dim, name=f"proj_in_{i}",
+                               dtype=jnp.float32)
+            proj_out = nn.Dense(c.latent_dim, name=f"proj_out_{i}",
+                                dtype=jnp.float32)
+            book = self.param(f"codebook_{i}", nn.initializers.normal(1.0),
+                              (c.codebook_size, c.codebook_dim))
+            r = proj_in(residual)                               # [B, T, d]
+            d2 = (jnp.sum(r ** 2, -1, keepdims=True)
+                  - 2.0 * r @ book.T
+                  + jnp.sum(book ** 2, -1)[None, None, :])      # [B, T, K]
+            idx = jnp.argmin(d2, axis=-1)                       # [B, T]
+            q = proj_out(book[idx])                             # [B, T, D]
+            z_q = z_q + q
+            residual = residual - q
+            codes.append(idx)
+        return z_q, jnp.stack(codes, axis=1)
+
+
+class DACModel:
+    """encode/decode wrapper holding the three Flax modules."""
+
+    def __init__(self, cfg: DACConfig):
+        self.cfg = cfg
+        self.encoder = DACEncoder(cfg)
+        self.decoder = DACDecoder(cfg)
+        self.rvq = ResidualVQ(cfg)
+
+    def init_params(self, seed: int = 0) -> Dict:
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        t = self.cfg.hop * 4
+        x = jnp.zeros((1, t, 1), jnp.float32)
+        z = jnp.zeros((1, 4, self.cfg.latent_dim), jnp.float32)
+        return {
+            "encoder": self.encoder.init(k1, x),
+            "decoder": self.decoder.init(k2, z),
+            "rvq": self.rvq.init(k3, z),
+        }
+
+    def preprocess(self, x_ct: jnp.ndarray) -> jnp.ndarray:
+        """Right-pad ``[C, T]`` to a hop multiple (reference
+        ``model.preprocess`` analog)."""
+        t = x_ct.shape[-1]
+        pad = (-t) % self.cfg.hop
+        return jnp.pad(x_ct, ((0, 0), (0, pad)))
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _encode(self, params, x_ct):
+        z = self.encoder.apply(params["encoder"], x_ct[..., None])
+        z_q, codes = self.rvq.apply(params["rvq"], z)
+        return z_q, codes
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _decode(self, params, z):
+        return self.decoder.apply(params["decoder"], z)
+
+    def encode(self, params, x_ct: jnp.ndarray):
+        """``[C, T] -> (z_q [C, T/hop, D], codes [C, n_q, T/hop])``."""
+        return self._encode(params, self.preprocess(x_ct))
+
+    def decode(self, params, z: jnp.ndarray) -> jnp.ndarray:
+        return self._decode(params, z)
+
+
+_CACHE: Dict[str, Tuple[DACModel, Dict, int]] = {}
+
+
+def build_dac(model_type: str = "44khz", seed: int = 0):
+    """(model, params, sample_rate) per model_type, cached — the analog
+    of the reference's ``dac.utils.download`` + ``DAC.load`` (:760-761),
+    backed by the weight store instead of the network."""
+    if model_type not in MODEL_TYPES:
+        raise ValueError(f"unknown DAC model_type {model_type!r}")
+    if model_type not in _CACHE:
+        cfg = MODEL_TYPES[model_type]
+        model = DACModel(cfg)
+        from ...utils.weights import load_params, save_params, weights_dir
+        cache = weights_dir() / f"dac_{model_type}.npz"
+        if cache.exists():
+            params = load_params(cache)
+        else:
+            params = model.init_params(seed)
+        _CACHE[model_type] = (model, params, cfg.sample_rate)
+    return _CACHE[model_type]

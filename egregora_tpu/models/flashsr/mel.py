@@ -1,0 +1,101 @@
+"""Mel-spectrogram front-end for the FlashSR stack — pure XLA.
+
+The reference delegates its mel/STFT front-end to the downloaded
+FlashSR_Inference torch code (reference
+``egregora_audio_super_resolution.py:319-344`` imports it wholesale).
+Here it is a first-class op: framed STFT (ops/stft.py) followed by a
+mel filterbank matmul — which XLA fuses and maps onto the MXU, since
+the filterbank is just a ``[freqs, mels]`` matrix.
+
+Conventions follow the AudioSR/AudioLDM lineage FlashSR distills from
+(48 kHz, n_fft 2048, hop 480 => 100 frames/s, 256 mel bands, Slaney
+scale, natural-log dynamic compression).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SAMPLE_RATE = 48000
+N_FFT = 2048
+HOP = 480
+N_MELS = 256
+FMIN = 20.0
+FMAX = 24000.0
+
+
+def _hz_to_mel(f: np.ndarray, htk: bool = False) -> np.ndarray:
+    f = np.asarray(f, dtype=np.float64)
+    if htk:
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+    # Slaney: linear below 1 kHz, log above
+    f_min, f_sp = 0.0, 200.0 / 3
+    mels = (f - f_min) / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_region = f >= min_log_hz
+    mels = np.where(log_region, min_log_mel + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep, mels)
+    return mels
+
+
+def _mel_to_hz(m: np.ndarray, htk: bool = False) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    if htk:
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    f_min, f_sp = 0.0, 200.0 / 3
+    freqs = f_min + f_sp * m
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_region = m >= min_log_mel
+    freqs = np.where(log_region, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
+    return freqs
+
+
+@functools.lru_cache(maxsize=8)
+def mel_filterbank(sr: int = SAMPLE_RATE, n_fft: int = N_FFT, n_mels: int = N_MELS,
+                   fmin: float = FMIN, fmax: float = FMAX, htk: bool = False,
+                   norm: bool = True) -> np.ndarray:
+    """Triangular mel filterbank ``[n_fft//2+1, n_mels]`` (librosa-compatible)."""
+    n_freqs = n_fft // 2 + 1
+    fft_freqs = np.linspace(0.0, sr / 2.0, n_freqs)
+    mel_pts = np.linspace(_hz_to_mel(np.array(fmin), htk), _hz_to_mel(np.array(fmax), htk),
+                          n_mels + 2)
+    hz_pts = _mel_to_hz(mel_pts, htk)
+
+    fb = np.zeros((n_freqs, n_mels), dtype=np.float64)
+    for m in range(n_mels):
+        lo, ctr, hi = hz_pts[m], hz_pts[m + 1], hz_pts[m + 2]
+        up = (fft_freqs - lo) / max(ctr - lo, 1e-10)
+        down = (hi - fft_freqs) / max(hi - ctr, 1e-10)
+        fb[:, m] = np.maximum(0.0, np.minimum(up, down))
+    if norm:  # Slaney area normalization
+        enorm = 2.0 / (hz_pts[2: n_mels + 2] - hz_pts[:n_mels])
+        fb *= enorm[None, :]
+    return fb.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "n_fft", "hop", "n_mels"))
+def log_mel(x: jnp.ndarray, sr: int = SAMPLE_RATE, n_fft: int = N_FFT,
+            hop: int = HOP, n_mels: int = N_MELS) -> jnp.ndarray:
+    """``[..., T] -> [..., frames, n_mels]`` natural-log mel spectrogram.
+
+    Signal is center-padded by n_fft//2 (reflect) so frame count is
+    ``T // hop + 1``; magnitudes flow through a single matmul onto the
+    MXU; dynamic range compressed as ``log(clip(mel, 1e-5))``.
+    """
+    from ...ops.stft import stft
+
+    pad = n_fft // 2
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    spec = stft(xp, n_fft, hop, window="hann_periodic")      # [..., F, n_fft//2+1]
+    mag = jnp.abs(spec)
+    fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
+    mel = jnp.einsum("...fk,km->...fm", mag, fb,
+                     precision=jax.lax.Precision.DEFAULT)
+    return jnp.log(jnp.clip(mel, 1e-5, None))

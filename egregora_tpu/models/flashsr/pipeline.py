@@ -1,0 +1,165 @@
+"""FlashSR end-to-end pipeline: chunked, batched, mesh-shardable.
+
+TPU-native counterpart of the reference's ``_FlashSRRunner`` + node
+``run`` flow (``egregora_audio_super_resolution.py:254-431``):
+
+  coerce -> resample to 48 kHz -> chunk (5.12 s win / 0.5 s overlap)
+  -> model forward on ALL chunks as one sharded batch -> Hann WOLA
+  stitch -> optional resample to 44.1/96 kHz.
+
+Differences by design (SURVEY.md §7): the per-chunk Python loop with a
+host<->device round trip per 5.12 s chunk (reference :410-418) becomes
+ONE jitted program over a ``[K*C, win]`` batch; audio stays on device
+from resample through stitch; chunks shard across the ICI mesh.
+
+Model: mel front-end -> VAE encode -> one-step student UNet
+(conditioned on the LR latent, fed a deterministic seeded noise
+latent) -> VAE decode -> SR vocoder -> waveform; the observed low band
+of the input is re-imposed on the output through an FFT crossover
+(standard practice in diffusion audio SR so the model only contributes
+the band it actually generates).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core.audio import AudioBuffer
+from ...ops.resample import resample
+from ...ops.wola import chunk_batch, wola_stitch
+from .mel import HOP, N_FFT, N_MELS, SAMPLE_RATE, log_mel
+from .unet import StudentUNet, UNetConfig
+from .vae import MelVAE, VAEConfig
+from .vocoder import SRVocoder, VocoderConfig
+
+REQ_SR = SAMPLE_RATE                  # 48000 (reference :255)
+CHUNK_S = 5.12                        # reference :256
+OVERLAP_S = 0.50                      # reference :257
+CHUNK_SAMPLES = int(REQ_SR * CHUNK_S)  # 245760 (reference :258)
+HOP_SAMPLES = int((CHUNK_S - OVERLAP_S) * REQ_SR)  # 221760 (reference :401)
+MEL_FRAMES = CHUNK_SAMPLES // HOP      # 512 frames per chunk
+
+
+@dataclasses.dataclass(frozen=True)
+class FlashSRConfig:
+    vae: VAEConfig = VAEConfig()
+    unet: UNetConfig = UNetConfig()
+    vocoder: VocoderConfig = VocoderConfig()
+    crossover_hz: float = 11000.0   # low-band preservation crossover
+    noise_seed: int = 0             # deterministic one-step noise latent
+
+
+class FlashSRModules:
+    """The three sub-models (mirrors the three reference checkpoints)."""
+
+    def __init__(self, cfg: FlashSRConfig = FlashSRConfig()):
+        self.cfg = cfg
+        self.vae = MelVAE(cfg.vae)
+        self.unet = StudentUNet(cfg.unet)
+        self.vocoder = SRVocoder(cfg.vocoder)
+
+    def init_params(self, seed: int = 0) -> dict:
+        """Random-init parameter trio (stand-in until ``.pth`` conversion;
+        the tree layout is what utils/weights.py converts into)."""
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        mel_img = jnp.zeros((1, MEL_FRAMES, N_MELS, 1), jnp.float32)
+        z = jnp.zeros((1, MEL_FRAMES // 4, N_MELS // 4,
+                       self.cfg.unet.in_channels), jnp.float32)
+        mel = jnp.zeros((1, MEL_FRAMES, N_MELS), jnp.float32)
+        return {
+            "vae": self.vae.init(k1, mel_img),
+            "student_ldm": self.unet.init(k2, z, jnp.zeros((1,))),
+            "sr_vocoder": self.vocoder.init(k3, mel),
+        }
+
+
+def lowpass_fir(x: jnp.ndarray, sr: int, cutoff_hz: float, taps: int = 255) -> jnp.ndarray:
+    """Linear-phase windowed-sinc lowpass along the last axis."""
+    n = np.arange(taps) - (taps - 1) / 2.0
+    wc = cutoff_hz / (sr / 2.0)
+    h = np.sinc(wc * n) * wc * np.hamming(taps)
+    h = (h / h.sum()).astype(np.float32)
+    lead = x.shape[:-1]
+    lhs = x.reshape((-1, 1, x.shape[-1]))
+    rhs = jnp.asarray(h)[None, None, :]
+    pad = (taps - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        lhs, rhs, (1,), [(pad, taps - 1 - pad)],
+        dimension_numbers=("NCW", "OIW", "NCW"))
+    return y.reshape(lead + (x.shape[-1],))
+
+
+def _crossover_merge(low_src: jnp.ndarray, high_src: jnp.ndarray,
+                     sr: int, crossover_hz: float) -> jnp.ndarray:
+    """FFT brick-wall crossover: low band from ``low_src``, high band
+    from ``high_src`` (both ``[..., T]``, same length)."""
+    n = low_src.shape[-1]
+    lo = jnp.fft.rfft(low_src, axis=-1)
+    hi = jnp.fft.rfft(high_src, axis=-1)
+    freqs = jnp.fft.rfftfreq(n, d=1.0 / sr)
+    mask = (freqs < crossover_hz).astype(lo.dtype)
+    return jnp.fft.irfft(lo * mask + hi * (1.0 - mask), n=n, axis=-1)
+
+
+class FlashSRPipeline:
+    """Jitted chunk-forward + host-side orchestration (runner analog)."""
+
+    def __init__(self, cfg: FlashSRConfig = FlashSRConfig(), params: Optional[dict] = None,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.modules = FlashSRModules(cfg)
+        self.params = params if params is not None else self.modules.init_params(seed)
+
+    # ---- the single-chunk-batch forward (THE flagship jit unit) ----
+    def chunk_forward(self, params: dict, chunks: jnp.ndarray,
+                      lowpass_input: bool = False) -> jnp.ndarray:
+        """``[B, CHUNK_SAMPLES] @48k -> [B, CHUNK_SAMPLES] @48k``."""
+        cfg = self.cfg
+        x = chunks.astype(jnp.float32)
+        if lowpass_input:
+            x = lowpass_fir(x, REQ_SR, cfg.crossover_hz)
+
+        mel = log_mel(x)[:, :MEL_FRAMES, :]          # [B, 512, 256]
+        z_lr = self.modules.vae.apply(params["vae"], mel[..., None],
+                                      method=MelVAE.encode)
+        noise = jax.random.normal(jax.random.PRNGKey(cfg.noise_seed), z_lr.shape,
+                                  jnp.float32)
+        z_in = jnp.concatenate([noise, z_lr], axis=-1)
+        t = jnp.ones((z_in.shape[0],), jnp.float32)
+        z_hr = self.modules.unet.apply(params["student_ldm"], z_in, t)
+        mel_hr = self.modules.vae.apply(params["vae"], z_hr,
+                                        method=MelVAE.decode)[..., 0]
+        wav = self.modules.vocoder.apply(params["sr_vocoder"], mel_hr)
+        wav = wav[:, :CHUNK_SAMPLES]
+        # re-impose the observed low band (see module docstring)
+        return _crossover_merge(x, wav, REQ_SR, cfg.crossover_hz).astype(jnp.float32)
+
+    @functools.cached_property
+    def _jit_forward(self):
+        return jax.jit(self.chunk_forward, static_argnames=("lowpass_input",))
+
+    # ---- full-file processing (node-facing) ----
+    def process(self, audio: AudioBuffer, lowpass_input: bool = False,
+                output_sr: int = 48000, pad_to_multiple: int = 1) -> AudioBuffer:
+        """The reference node flow (``run``, :388-431) on device."""
+        x = audio.samples
+        if audio.sample_rate != REQ_SR:
+            x = resample(x, audio.sample_rate, REQ_SR)
+        c, total = x.shape
+
+        chunks, starts, lengths = chunk_batch(x, CHUNK_SAMPLES, HOP_SAMPLES,
+                                              pad_to_multiple=pad_to_multiple)
+        k = chunks.shape[0]
+        flat = chunks.reshape(k * c, CHUNK_SAMPLES)      # channels ride the batch
+        preds = self._jit_forward(self.params, flat, lowpass_input=lowpass_input)
+        preds = preds.reshape(k, c, CHUNK_SAMPLES)
+        out = wola_stitch(preds, starts, lengths, total, CHUNK_SAMPLES)
+
+        if int(output_sr) != REQ_SR:
+            out = resample(out, REQ_SR, int(output_sr))
+        return AudioBuffer(out, int(output_sr), dict(audio.meta))

@@ -1,0 +1,72 @@
+"""FlashSR distillation-style training step — mesh-sharded.
+
+The reference is inference-only (SURVEY.md: no trainer/optimizer
+anywhere), but the TPU framework ships a real training path so the
+student/vocoder can be (re)distilled or fine-tuned at scale: a jitted
+train step with data parallelism over the device mesh (batch sharded on
+the 'chunk' axis, params + optimizer state replicated; XLA inserts the
+grad all-reduce over ICI).
+
+Loss: given paired (lr_wave, hr_wave) 48 kHz chunks,
+  z_hr_pred = UNet(concat(noise, VAE.enc(mel(lr))), t)
+  L = ||z_hr_pred - VAE.enc(mel(hr))||^2                (latent distill)
+    + ||mel(vocoder(VAE.dec(z_hr_pred))) - mel(hr)||^2  (mel recon)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mel import log_mel
+from .pipeline import FlashSRModules
+from .vae import MelVAE
+
+
+def make_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
+    return optax.adamw(lr, b1=0.9, b2=0.99, weight_decay=1e-4)
+
+
+def loss_fn(modules: FlashSRModules, params: dict, lr_wave: jnp.ndarray,
+            hr_wave: jnp.ndarray, hop: int, n_mels: int) -> jnp.ndarray:
+    frames = lr_wave.shape[-1] // hop
+    mel_lr = log_mel(lr_wave, n_fft=4 * hop, hop=hop, n_mels=n_mels)[:, :frames]
+    mel_hr = log_mel(hr_wave, n_fft=4 * hop, hop=hop, n_mels=n_mels)[:, :frames]
+
+    z_lr = modules.vae.apply(params["vae"], mel_lr[..., None], method=MelVAE.encode)
+    z_tgt = modules.vae.apply(params["vae"], mel_hr[..., None], method=MelVAE.encode)
+    noise = jax.random.normal(jax.random.PRNGKey(0), z_lr.shape, jnp.float32)
+    z_in = jnp.concatenate([noise, z_lr], axis=-1)
+    t = jnp.ones((z_in.shape[0],), jnp.float32)
+    z_pred = modules.unet.apply(params["student_ldm"], z_in, t)
+    latent_l2 = jnp.mean(jnp.square(z_pred - z_tgt))
+
+    mel_dec = modules.vae.apply(params["vae"], z_pred, method=MelVAE.decode)[..., 0]
+    wav = modules.vocoder.apply(params["sr_vocoder"], mel_dec)[:, : hr_wave.shape[-1]]
+    mel_out = log_mel(wav, n_fft=4 * hop, hop=hop, n_mels=n_mels)[:, :frames]
+    mel_l2 = jnp.mean(jnp.square(mel_out - mel_hr))
+    return latent_l2 + mel_l2
+
+
+def make_train_step(modules: FlashSRModules, tx: optax.GradientTransformation,
+                    mesh: Mesh, hop: int, n_mels: int):
+    """Returns jitted ``step(params, opt_state, lr_wave, hr_wave)`` with
+    batch sharded over the mesh's 'chunk' axis and state replicated."""
+
+    def step(params, opt_state, lr_wave, hr_wave):
+        loss, grads = jax.value_and_grad(
+            functools.partial(loss_fn, modules, hop=hop, n_mels=n_mels),
+            argnums=0)(params, lr_wave, hr_wave)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("chunk"))
+    return jax.jit(step,
+                   in_shardings=(repl, repl, data, data),
+                   out_shardings=(repl, repl, repl))

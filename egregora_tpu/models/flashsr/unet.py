@@ -1,0 +1,132 @@
+"""One-step student latent-diffusion UNet (``student_ldm.pth`` equivalent).
+
+FlashSR (arXiv 2501.10807) distills a multi-step latent-diffusion audio
+SR model (AudioSR lineage) into a single-step student: one UNet
+evaluation maps (noise latent, low-res-conditioned) -> high-res latent.
+The reference runs the torch implementation from the downloaded repo
+(``egregora_audio_super_resolution.py:361-369``); this is the
+TPU-native counterpart.
+
+Design notes (TPU-first):
+- NHWC activations, bf16 compute, f32 params/norms — conv + attention
+  land on the MXU at the right tile sizes.
+- Conditioning by channel-concat of the LR latent (standard for SR
+  diffusion) plus a sinusoidal step embedding through FiLM-style
+  scale/shift in every ResBlock (the student keeps the teacher's
+  conditioning pathway even though it only ever sees one step).
+- Self-attention only at the two deepest resolutions, where the token
+  count is small enough that attention is MXU-bound, not HBM-bound.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 32           # z_noise (16) + z_lr cond (16)
+    out_channels: int = 16
+    base_channels: int = 128
+    channel_mults: Sequence[int] = (1, 2, 4)
+    num_res_blocks: int = 2
+    attn_levels: Sequence[int] = (1, 2)
+    num_heads: int = 8
+    time_dim: int = 512
+    groups: int = 32
+    dtype: jnp.dtype = jnp.bfloat16
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Sinusoidal embedding ``[B] -> [B, dim]`` (DDPM convention)."""
+    half = dim // 2
+    freqs = jnp.exp(-np.log(10000.0) * jnp.arange(half) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class FiLMResBlock(nn.Module):
+    channels: int
+    groups: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, temb):
+        h = nn.GroupNorm(num_groups=min(self.groups, x.shape[-1]), dtype=jnp.float32)(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(h)
+        scale_shift = nn.Dense(2 * self.channels, dtype=jnp.float32)(nn.silu(temb))
+        scale, shift = jnp.split(scale_shift[:, None, None, :], 2, axis=-1)
+        h = nn.GroupNorm(num_groups=min(self.groups, self.channels), dtype=jnp.float32)(h)
+        h = h * (1.0 + scale) + shift
+        h = nn.silu(h)
+        h = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(h)
+        if x.shape[-1] != self.channels:
+            x = nn.Conv(self.channels, (1, 1), dtype=self.dtype)(x)
+        return x + h
+
+
+class SelfAttention2D(nn.Module):
+    num_heads: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, m, c = x.shape
+        h = nn.GroupNorm(num_groups=min(32, c), dtype=jnp.float32)(x)
+        h = h.reshape(b, f * m, c)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype,
+            deterministic=True)(h, h)
+        return x + h.reshape(b, f, m, c)
+
+
+class StudentUNet(nn.Module):
+    """``(z_t [B,F,M,Zin], t [B]) -> prediction [B,F,M,Zout]``."""
+    cfg: UNetConfig = UNetConfig()
+
+    @nn.compact
+    def __call__(self, z, t):
+        c = self.cfg
+        temb = timestep_embedding(t, c.time_dim)
+        temb = nn.Dense(c.time_dim, dtype=jnp.float32)(temb)
+        temb = nn.Dense(c.time_dim, dtype=jnp.float32)(nn.silu(temb))
+
+        h = nn.Conv(c.base_channels, (3, 3), dtype=c.dtype)(z)
+        skips = [h]
+        # down path
+        for i, mult in enumerate(c.channel_mults):
+            ch = c.base_channels * mult
+            for _ in range(c.num_res_blocks):
+                h = FiLMResBlock(ch, c.groups, c.dtype)(h, temb)
+                if i in c.attn_levels:
+                    h = SelfAttention2D(c.num_heads, c.dtype)(h)
+                skips.append(h)
+            if i < len(c.channel_mults) - 1:
+                h = nn.Conv(ch, (3, 3), strides=(2, 2), dtype=c.dtype)(h)
+                skips.append(h)
+        # middle
+        mid_ch = c.base_channels * c.channel_mults[-1]
+        h = FiLMResBlock(mid_ch, c.groups, c.dtype)(h, temb)
+        h = SelfAttention2D(c.num_heads, c.dtype)(h)
+        h = FiLMResBlock(mid_ch, c.groups, c.dtype)(h, temb)
+        # up path
+        for i, mult in reversed(list(enumerate(c.channel_mults))):
+            ch = c.base_channels * mult
+            for _ in range(c.num_res_blocks + 1):
+                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                h = FiLMResBlock(ch, c.groups, c.dtype)(h, temb)
+                if i in c.attn_levels:
+                    h = SelfAttention2D(c.num_heads, c.dtype)(h)
+            if i > 0:
+                b, f, m, cc = h.shape
+                h = jax.image.resize(h, (b, f * 2, m * 2, cc), method="nearest")
+                h = nn.Conv(cc, (3, 3), dtype=c.dtype)(h)
+        h = nn.GroupNorm(num_groups=c.groups, dtype=jnp.float32)(h)
+        h = nn.silu(h)
+        return nn.Conv(c.out_channels, (3, 3), dtype=c.dtype)(h).astype(jnp.float32)

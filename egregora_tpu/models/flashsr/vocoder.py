@@ -1,0 +1,87 @@
+"""SR vocoder (``sr_vocoder.pth`` equivalent): mel -> 48 kHz waveform.
+
+HiFi-GAN-family generator matching the FlashSR stack's third
+checkpoint (reference loads it at
+``egregora_audio_super_resolution.py:350-353``): transposed-conv
+upsampling through the 480x hop (10*8*6) with multi-receptive-field
+(MRF) residual stacks between stages.
+
+TPU-first choices: 1-D convs carried as NWC (XLA's native 1-D conv
+layout), bf16 compute, channel floor of 128 so every conv keeps the
+MXU's 128-lane dimension full (vanilla HiFi-GAN decays to 64/32
+channels, which wastes 3/4 of the systolic array at the most
+sample-expensive stages).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class VocoderConfig:
+    n_mels: int = 256
+    upsample_initial: int = 512
+    upsample_factors: Sequence[int] = (10, 8, 6)   # product == hop 480
+    upsample_kernels: Sequence[int] = (20, 16, 12)
+    resblock_kernels: Sequence[int] = (3, 7, 11)
+    resblock_dilations: Sequence[Sequence[int]] = ((1, 3, 5),) * 3
+    channel_floor: int = 128
+    dtype: jnp.dtype = jnp.bfloat16
+
+
+class ResBlock1D(nn.Module):
+    channels: int
+    kernel: int
+    dilations: Sequence[int]
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        for d in self.dilations:
+            h = nn.leaky_relu(x, 0.1)
+            h = nn.Conv(self.channels, (self.kernel,), kernel_dilation=(d,),
+                        dtype=self.dtype)(h)
+            h = nn.leaky_relu(h, 0.1)
+            h = nn.Conv(self.channels, (self.kernel,), dtype=self.dtype)(h)
+            x = x + h
+        return x
+
+
+class MRF(nn.Module):
+    channels: int
+    kernels: Sequence[int]
+    dilations: Sequence[Sequence[int]]
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        acc = None
+        for k, ds in zip(self.kernels, self.dilations):
+            h = ResBlock1D(self.channels, k, ds, self.dtype)(x)
+            acc = h if acc is None else acc + h
+        return acc / len(self.kernels)
+
+
+class SRVocoder(nn.Module):
+    """``mel [B, F, n_mels] -> waveform [B, F * 480]``."""
+    cfg: VocoderConfig = VocoderConfig()
+
+    @nn.compact
+    def __call__(self, mel):
+        c = self.cfg
+        h = nn.Conv(c.upsample_initial, (7,), dtype=c.dtype)(mel)
+        ch = c.upsample_initial
+        for f, k in zip(c.upsample_factors, c.upsample_kernels):
+            ch = max(ch // 2, c.channel_floor)
+            h = nn.leaky_relu(h, 0.1)
+            h = nn.ConvTranspose(ch, (k,), strides=(f,), dtype=c.dtype)(h)
+            # ConvTranspose 'SAME' yields length*f directly
+            h = MRF(ch, c.resblock_kernels, c.resblock_dilations, c.dtype)(h)
+        h = nn.leaky_relu(h, 0.1)
+        h = nn.Conv(1, (7,), dtype=c.dtype)(h)
+        return jnp.tanh(h.astype(jnp.float32))[..., 0]

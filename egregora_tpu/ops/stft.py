@@ -88,7 +88,12 @@ def istft(spec: jnp.ndarray, n_fft: int, hop: int, length: int, *,
     flat = frames.reshape((-1, f * n_fft))
     acc = jax.vmap(lambda fr: jnp.zeros(total, frames.dtype).at[pos].add(fr))(flat)
     wsum = jnp.zeros(total, w.dtype).at[pos].add(jnp.tile(w * w, f))
-    wsum = jnp.where(wsum > 1e-8, wsum, 1.0)
+    # Relative guard: where window coverage is negligible (signal edges),
+    # emit ~0 instead of amplifying modified-spectrum inconsistencies by
+    # a huge 1/wsum (an absolute 1e-8 guard lets edge samples blow up).
+    floor = 1e-3 * jnp.max(wsum)
+    acc = acc * (wsum >= floor)[None, :]
+    wsum = jnp.where(wsum >= floor, wsum, 1.0)
     out = (acc / wsum[None, :]).reshape(lead_shape + (total,))
     if total >= length:
         return out[..., :length]

@@ -1,0 +1,176 @@
+"""Weight store: download/convert/cache model weights (installer analog).
+
+The reference scatters this across ``install.py`` (repo zip + HF weight
+fetch, :64-101) and ``_FlashSRRunner._ensure_weights``
+(``egregora_audio_super_resolution.py:282-317``).  Here it is one
+layer: resolve a checkpoint directory (env-overridable like
+``EGREGORA_FLASHSR_REPO``/``EGREGORA_FLASHSR_HF_REPO``), convert torch
+``.pth`` state dicts into the framework's param pytrees, and cache the
+converted arrays as ``.npz`` so later loads never touch torch.
+
+Network fetch is gated: this environment has zero egress, so
+``ensure_flashsr_weights`` only *uses* files that are already present
+(same filenames the reference expects: ``student_ldm.pth``,
+``sr_vocoder.pth``, ``vae.pth``) and reports precisely what is missing
+— mirroring the reference's actionable-error style (:313-317).
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HF_DATASET = "jakeoneijk/FlashSR_weights"          # reference :260
+FLASHSR_FILES = ("student_ldm.pth", "sr_vocoder.pth", "vae.pth")  # reference :261
+
+
+def weights_dir() -> Path:
+    """Checkpoint root; env ``EGREGORA_TPU_WEIGHTS`` overrides (the
+    reference's ``models/audio/flashsr`` convention, :265)."""
+    env = os.environ.get("EGREGORA_TPU_WEIGHTS")
+    d = Path(env) if env else Path.home() / ".cache" / "egregora_tpu" / "weights"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def flashsr_ckpt_dir() -> Path:
+    d = weights_dir() / "flashsr"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def missing_flashsr_files(ckpt_dir: Optional[Path] = None) -> Tuple[str, ...]:
+    d = ckpt_dir or flashsr_ckpt_dir()
+    return tuple(f for f in FLASHSR_FILES if not (d / f).exists())
+
+
+def load_torch_state_dict(path: Path) -> Dict[str, np.ndarray]:
+    """Load a ``.pth`` into plain numpy arrays (torch stays host-side)."""
+    import torch  # CPU torch is available in-image; used only for IO
+
+    obj = torch.load(str(path), map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    out = {}
+    for k, v in obj.items():
+        if hasattr(v, "detach"):
+            out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    flat = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            flat.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        flat[prefix.rstrip("/")] = np.asarray(tree)
+    return flat
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(val)
+    return tree
+
+
+def save_params(params: Any, path: Path) -> None:
+    np.savez(path, **{k: np.asarray(v) for k, v in _flatten(params).items()})
+
+
+def load_params(path: Path) -> Any:
+    with np.load(path) as z:
+        return _unflatten({k: z[k] for k in z.files})
+
+
+def convert_state_dict(torch_sd: Dict[str, np.ndarray], target_tree: Any,
+                       name_map: Optional[Callable[[str], Optional[str]]] = None,
+                       transpose_linear: bool = True) -> Any:
+    """Map a torch state dict onto a Flax param tree.
+
+    ``name_map`` maps a torch key to the '/'-joined flax path (return
+    None to drop).  With no map, keys are matched by normalized name
+    (dots->slashes, ``weight``->``kernel``, ``bias`` kept) and then by
+    shape.  torch Linear kernels are ``[out, in]`` and convs
+    ``[out, in, *k]``; flax wants ``[in, out]`` / ``[*k, in, out]`` —
+    transposed automatically when shapes say so.
+
+    Raises ``ValueError`` listing unmatched target leaves, so a partial
+    checkpoint can't silently half-load (the reference's fail-loud
+    policy for missing weights, sr node :338-344).
+    """
+    flat_target = _flatten(target_tree)
+    remaining = dict(flat_target)
+    out: Dict[str, np.ndarray] = {}
+
+    def norm(k: str) -> str:
+        k = k.replace(".", "/")
+        k = k.replace("/weight", "/kernel")
+        return k
+
+    for tk, tv in torch_sd.items():
+        fk = name_map(tk) if name_map else None
+        if name_map and fk is None:
+            continue
+        if fk is None:
+            cand = norm(tk)
+            fk = next((k for k in remaining if k.endswith(cand)), None)
+        if fk is None or fk not in remaining:
+            continue
+        want = remaining[fk].shape
+        v = tv
+        if v.shape != tuple(want) and transpose_linear:
+            if v.ndim == 2 and v.T.shape == tuple(want):
+                v = v.T
+            elif v.ndim >= 3:
+                # torch conv [O, I, *k] -> flax [*k, I, O]
+                perm = tuple(range(2, v.ndim)) + (1, 0)
+                if np.transpose(v, perm).shape == tuple(want):
+                    v = np.transpose(v, perm)
+        if v.shape == tuple(want):
+            out[fk] = v
+            del remaining[fk]
+
+    if remaining:
+        missing = sorted(remaining)[:20]
+        raise ValueError(
+            f"convert_state_dict: {len(remaining)} target leaves unmatched, "
+            f"e.g. {missing}. Provide an explicit name_map for this checkpoint.")
+    return _unflatten(out)
+
+
+def ensure_flashsr_weights(modules, seed: int = 0, ckpt_dir: Optional[Path] = None):
+    """Return FlashSR params: converted-from-.pth if the three reference
+    checkpoints are present (cached as .npz), else a deterministic
+    seeded init.  Never fetches (zero-egress environment); reports what
+    to place where, like the reference does."""
+    d = ckpt_dir or flashsr_ckpt_dir()
+    cache = d / "flashsr_params.npz"
+    if cache.exists():
+        return load_params(cache)
+    missing = missing_flashsr_files(d)
+    if not missing:
+        params = modules.init_params(seed)
+        converted = {}
+        for name, fname in (("student_ldm", "student_ldm.pth"),
+                            ("sr_vocoder", "sr_vocoder.pth"),
+                            ("vae", "vae.pth")):
+            sd = load_torch_state_dict(d / fname)
+            converted[name] = convert_state_dict(sd, params[name])
+        save_params(converted, cache)
+        return converted
+    print(f"[egregora_tpu] FlashSR weights not found in {d} (missing: "
+          f"{', '.join(missing)}; HF dataset {HF_DATASET}). "
+          "Using seeded random init.")
+    return modules.init_params(seed)

@@ -1,0 +1,198 @@
+"""Model-engine tests: tiny-config golden behaviors (SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egregora_tpu.models.flashsr.pipeline import (CHUNK_SAMPLES, FlashSRConfig,
+                                                  FlashSRPipeline, HOP_SAMPLES)
+from egregora_tpu.models.flashsr.unet import UNetConfig
+from egregora_tpu.models.flashsr.vae import VAEConfig
+from egregora_tpu.models.flashsr.vocoder import VocoderConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    cfg = FlashSRConfig(
+        vae=VAEConfig(base_channels=8, channel_mults=(1, 2, 2), latent_channels=4,
+                      num_res_blocks=1, groups=4),
+        unet=UNetConfig(in_channels=8, out_channels=4, base_channels=8,
+                        channel_mults=(1, 2), num_res_blocks=1, attn_levels=(1,),
+                        num_heads=2, time_dim=16, groups=4),
+        vocoder=VocoderConfig(upsample_initial=16, channel_floor=8),
+    )
+    return FlashSRPipeline(cfg, seed=0)
+
+
+def test_flashsr_constants_match_reference():
+    # egregora_audio_super_resolution.py:255-258, 401
+    assert CHUNK_SAMPLES == 245760
+    assert HOP_SAMPLES == 221760
+
+
+def test_flashsr_chunk_forward_shape(tiny_pipe):
+    x = jnp.zeros((1, CHUNK_SAMPLES), jnp.float32)
+    y = tiny_pipe._jit_forward(tiny_pipe.params, x, lowpass_input=False)
+    assert y.shape == (1, CHUNK_SAMPLES)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_flashsr_preserves_low_band(tiny_pipe):
+    """Crossover merge keeps the observed low band bit-accurately-ish."""
+    sr = 48000
+    t = np.arange(CHUNK_SAMPLES) / sr
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[None]
+    y = np.asarray(tiny_pipe._jit_forward(tiny_pipe.params, jnp.asarray(x),
+                                          lowpass_input=False))
+    # below crossover (11 kHz) the output must be the input tone
+    xs = np.fft.rfft(x[0])
+    ys = np.fft.rfft(y[0])
+    freqs = np.fft.rfftfreq(CHUNK_SAMPLES, 1 / sr)
+    low = freqs < 10000
+    err = np.abs(xs[low] - ys[low]).max() / np.abs(xs).max()
+    assert err < 1e-3
+
+
+def test_flashsr_process_end_to_end(tiny_pipe):
+    from egregora_tpu.core.audio import AudioBuffer
+    x = np.random.default_rng(0).standard_normal((2, CHUNK_SAMPLES // 3)).astype(np.float32) * 0.1
+    buf = AudioBuffer(jnp.asarray(x), 24000, {})
+    out = tiny_pipe.process(buf, output_sr=44100)
+    assert out.sample_rate == 44100
+    # 24k -> 48k doubles, 48->44.1 scales by 0.91875
+    expect = int(np.ceil(x.shape[1] * 2 * 44100 / 48000))
+    assert abs(out.samples.shape[1] - expect) <= 2
+    assert bool(jnp.all(jnp.isfinite(out.samples)))
+
+
+def test_flashsr_deterministic(tiny_pipe):
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((1, CHUNK_SAMPLES)),
+                    jnp.float32) * 0.05
+    y1 = np.asarray(tiny_pipe._jit_forward(tiny_pipe.params, x, lowpass_input=False))
+    y2 = np.asarray(tiny_pipe._jit_forward(tiny_pipe.params, x, lowpass_input=False))
+    np.testing.assert_array_equal(y1, y2)
+
+
+# ---------------- RNNoise ----------------
+
+def test_rnnoise_contract():
+    from egregora_tpu.models.rnnoise.model import FRAME, denoise, init_params
+    params = init_params(0)
+    t = FRAME * 20
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, t)), jnp.float32) * 0.1
+    y, vad = denoise(params, x)
+    assert y.shape == (2, t)
+    assert vad.shape == (2, 20)
+    assert bool(jnp.all(jnp.isfinite(y)))
+    assert bool(jnp.all((vad >= 0) & (vad <= 1)))
+
+
+def test_rnnoise_deterministic_and_state():
+    from egregora_tpu.models.rnnoise.model import FRAME, denoise_channel, init_params
+    params = init_params(0)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(FRAME * 10), jnp.float32) * 0.2
+    y1, v1 = denoise_channel(params, x)
+    y2, v2 = denoise_channel(params, x)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    # VAD evolves over frames (GRU state is actually carried)
+    assert np.std(np.asarray(v1)) >= 0.0
+
+
+# ---------------- WPE ----------------
+
+def test_wpe_reduces_reverb():
+    """Bursty source through synthetic reverb: WPE must cut the reverb
+    tail energy in the silent gaps.  (WPE exploits source
+    non-stationarity — a stationary source is unpredictable-from-past
+    by construction, so the test source is on/off noise bursts.)"""
+    from egregora_tpu.models.wpe import wpe_dereverb
+    rng = np.random.default_rng(0)
+    n = 32000
+    env = np.zeros(n, np.float32)
+    for s in range(0, n, 4000):
+        env[s: s + 2000] = 1.0
+    dry = rng.standard_normal(n).astype(np.float32) * 0.3 * env
+    ir = np.zeros(2000, np.float32)
+    ir[0] = 1.0
+    ir[100:] = rng.standard_normal(1900).astype(np.float32) * np.exp(
+        -np.arange(1900) / 300.0) * 0.5
+    wet = np.convolve(dry, ir)[:n].astype(np.float32)
+
+    out = np.asarray(wpe_dereverb(jnp.asarray(wet[None]), taps=10, delay=2,
+                                  iterations=3, n_fft=512, hop=128))[0]
+    gap = env < 0.5
+    gap_wet = float(np.mean(wet[gap] ** 2))
+    gap_wpe = float(np.mean(out[gap] ** 2))
+    assert gap_wpe < 0.9 * gap_wet  # >=10% reverb-tail reduction
+    assert np.abs(out).max() < 10.0  # no edge blowup
+
+
+def test_wpe_shapes_and_finite():
+    from egregora_tpu.models.wpe import wpe_dereverb
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 4000)), jnp.float32)
+    y = wpe_dereverb(x, taps=4, delay=1, iterations=2, n_fft=256, hop=64)
+    assert y.shape == (2, 4000)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+# ---------------- DAC ----------------
+
+def test_dac_shapes_and_cache(tmp_path, monkeypatch):
+    monkeypatch.setenv("EGREGORA_TPU_WEIGHTS", str(tmp_path))
+    from egregora_tpu.models.dac import model as dacm
+    dacm._CACHE.clear()
+    model, params, sr = dacm.build_dac("16khz")
+    assert sr == 16000
+    hop = model.cfg.hop
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, hop * 6 - 5)),
+                    jnp.float32) * 0.3
+    z, codes = model.encode(params, x)
+    assert z.shape == (1, 6, model.cfg.latent_dim)
+    assert codes.shape == (1, model.cfg.n_codebooks, 6)
+    y = model.decode(params, z)
+    assert y.shape == (1, hop * 6)
+    assert bool(jnp.all(jnp.isfinite(y)))
+    # same model object cached
+    model2, _, _ = dacm.build_dac("16khz")
+    assert model2 is model
+    dacm._CACHE.clear()
+
+
+# ---------------- DFN ----------------
+
+def test_dfn_enhance_shapes():
+    from egregora_tpu.models.deepfilternet.model import DFNConfig, enhance, init_params
+    params = init_params(0)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 9600)), jnp.float32) * 0.2
+    y = enhance(params, x)
+    assert y.shape == (1, 9600)
+    assert bool(jnp.all(jnp.isfinite(y)))
+    y_pf = enhance(params, x, post_filter=True)
+    assert y_pf.shape == (1, 9600)
+
+
+# ---------------- mesh parallelism ----------------
+
+def test_chunk_parallel_matches_single_device(tiny_pipe):
+    from egregora_tpu.ops.wola import chunk_batch, wola_stitch
+    from egregora_tpu.parallel.mesh import chunk_parallel, make_chunk_mesh
+
+    mesh = make_chunk_mesh()
+    assert mesh.size == 8  # conftest forces 8 virtual cpu devices
+
+    x = np.random.default_rng(0).standard_normal(
+        (1, CHUNK_SAMPLES + 3 * HOP_SAMPLES)).astype(np.float32) * 0.1
+    chunks, starts, lengths = chunk_batch(jnp.asarray(x), CHUNK_SAMPLES,
+                                          HOP_SAMPLES, pad_to_multiple=mesh.size)
+    flat = chunks[:, 0, :]  # mono
+
+    fn = lambda p, c: tiny_pipe.chunk_forward(p, c, lowpass_input=False)
+    sharded = chunk_parallel(fn, mesh)
+    y_sharded = np.asarray(sharded(tiny_pipe.params, flat))
+    y_single = np.asarray(tiny_pipe._jit_forward(tiny_pipe.params, flat,
+                                                 lowpass_input=False))
+    np.testing.assert_allclose(y_sharded, y_single, atol=2e-2, rtol=1e-2)
+
+    out = wola_stitch(y_sharded[:, None, :], starts, lengths, x.shape[1],
+                      CHUNK_SAMPLES)
+    assert out.shape == x.shape
