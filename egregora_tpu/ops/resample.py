@@ -117,7 +117,14 @@ def resample(x_cs: jnp.ndarray, src_sr: int, dst_sr: int, *,
 
 
 def oversample(x: jnp.ndarray, factor: int) -> jnp.ndarray:
-    """Integer oversampling of a 1-D signal (true-peak measurement)."""
+    """Integer oversampling of a 1-D signal (true-peak measurement).
+
+    Filter design matches scipy.signal.resample_poly's default
+    (Kaiser beta 5.0, 10*factor taps per side, cutoff at Nyquist) so
+    true-peak readings parity-match the reference's scipy path
+    (eval pack :203-214).
+    """
     if factor <= 1:
         return x.astype(jnp.float32)
-    return resample_poly(x[None, :], 1, int(factor))[0]
+    return resample_poly(x[None, :], 1, int(factor),
+                         width=10, rolloff=1.0, beta=5.0)[0]
