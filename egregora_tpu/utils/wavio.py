@@ -27,8 +27,18 @@ def _have_soundfile() -> bool:
 
 
 def read_audio(path: PathLike) -> Tuple[np.ndarray, int]:
-    """Read an audio file -> (``[C, S]`` float32 in [-1, 1], sr)."""
+    """Read an audio file -> (``[C, S]`` float32 in [-1, 1], sr).
+
+    Backend order: native C++ wavcodec (native/wavcodec.cc) for WAV,
+    then soundfile (any format), then the stdlib WAV fallback.
+    """
     path = str(path)
+    if path.lower().endswith(".wav"):
+        try:
+            from .native import read_wav
+            return read_wav(path)
+        except Exception:
+            pass
     if _have_soundfile():
         import soundfile as sf
         data, sr = sf.read(path, dtype="float32", always_2d=True)  # [S, C]
@@ -61,6 +71,14 @@ def write_audio(path: PathLike, samples_cn: np.ndarray, sr: int,
     s = np.asarray(samples_cn, dtype=np.float32)
     if s.ndim == 1:
         s = s[None, :]
+    if path.lower().endswith(".wav"):
+        try:
+            from .native import write_wav
+            bits = 32 if "32" in subtype or "FLOAT" in subtype.upper() else 16
+            write_wav(path, s, int(sr), bits)
+            return
+        except Exception:
+            pass
     if _have_soundfile():
         import soundfile as sf
         sf.write(path, s.T, int(sr), subtype=subtype)

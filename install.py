@@ -1,0 +1,96 @@
+"""Bootstrap / environment check (the reference install.py's analog).
+
+The reference installer pip-installs a dozen packages, downloads the
+FlashSR repo zip + weights, and runs model warmups
+(reference install.py:104-172).  Here the runtime deps are baked
+(jax/flax/optax/numpy), so bootstrap means:
+
+1. verify the baked dependency set imports,
+2. build the native host-edge components (native/wavcodec.cc),
+3. prepare the weight-store directories and report which checkpoint
+   files are present vs missing (no network fetch in zero-egress
+   environments — mirrors the reference's actionable-error style),
+4. run tiny jit warmups of each engine so first real use is fast.
+
+Run: python install.py [--skip-warmup]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def check_deps() -> bool:
+    ok = True
+    for mod in ("jax", "flax", "optax", "numpy"):
+        try:
+            __import__(mod)
+            print(f"[deps] {mod}: ok")
+        except Exception as e:
+            print(f"[deps] {mod}: MISSING ({e})")
+            ok = False
+    for mod in ("soundfile", "matplotlib", "torch"):
+        try:
+            __import__(mod)
+            print(f"[deps] {mod}: ok (optional)")
+        except Exception:
+            print(f"[deps] {mod}: absent (optional; degraded gracefully)")
+    return ok
+
+
+def build_native() -> None:
+    from egregora_tpu.utils.native import load
+    lib = load()
+    print(f"[native] wavcodec: {'built' if lib is not None else 'unavailable (g++ missing?); stdlib fallback active'}")
+
+
+def check_weights() -> None:
+    from egregora_tpu.utils.weights import (FLASHSR_FILES, HF_DATASET, flashsr_ckpt_dir,
+                                            missing_flashsr_files)
+    d = flashsr_ckpt_dir()
+    missing = missing_flashsr_files()
+    if missing:
+        print(f"[weights] FlashSR: missing {', '.join(missing)} in {d}")
+        print(f"[weights]   place the files from HF dataset {HF_DATASET} there; "
+              "random init is used until then")
+    else:
+        print(f"[weights] FlashSR: all of {', '.join(FLASHSR_FILES)} present in {d}")
+
+
+def warmups() -> None:
+    import numpy as np
+    import jax.numpy as jnp
+    silence = jnp.zeros((1, 4800), jnp.float32)  # 100 ms @ 48 kHz
+
+    from egregora_tpu.eval.loudness import loudness_report
+    loudness_report(silence, 48000)
+    print("[warmup] loudness: ok")
+
+    from egregora_tpu.ops.spectral import spectral_enhance
+    spectral_enhance(silence, 2, 4, 0.6)
+    print("[warmup] spectral enhance: ok")
+
+    from egregora_tpu.models.rnnoise.model import denoise, init_params
+    denoise(init_params(0), jnp.zeros((1, 4800), jnp.float32))
+    print("[warmup] rnnoise: ok")
+
+    from egregora_tpu.models.deepfilternet.model import enhance, init_params as dfn_init
+    enhance(dfn_init(0), silence)
+    print("[warmup] deepfilternet: ok")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-warmup", action="store_true")
+    args = ap.parse_args(argv)
+    ok = check_deps()
+    build_native()
+    check_weights()
+    if not args.skip_warmup:
+        warmups()
+    print("[install] done" if ok else "[install] finished with missing required deps")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

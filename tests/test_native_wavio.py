@@ -1,0 +1,88 @@
+"""Native C++ wavcodec + wavio fallback-chain tests."""
+import numpy as np
+import pytest
+
+from egregora_tpu.utils import native, wavio
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.load()
+    if lib is None:
+        pytest.skip("g++/toolchain unavailable; native codec not built")
+    return lib
+
+
+def _sig(ch=2, n=12345, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.clip(rng.standard_normal((ch, n)).astype(np.float32) * 0.3, -1, 1)
+
+
+def test_native_roundtrip_pcm16(lib, tmp_path):
+    x = _sig()
+    p = tmp_path / "a.wav"
+    native.write_wav(p, x, 48000, bits=16)
+    y, sr = native.read_wav(p)
+    assert sr == 48000 and y.shape == x.shape
+    np.testing.assert_allclose(y, x, atol=1.0 / 16000)
+
+
+def test_native_roundtrip_float32(lib, tmp_path):
+    x = _sig(1, 999)
+    p = tmp_path / "f.wav"
+    native.write_wav(p, x, 44100, bits=32)
+    y, sr = native.read_wav(p)
+    assert sr == 44100
+    np.testing.assert_allclose(y, x, atol=1e-7)
+
+
+def test_native_matches_stdlib_decoder(lib, tmp_path):
+    """Cross-check the C++ decoder against the stdlib wave module."""
+    import wave
+    x = _sig(2, 4001, seed=3)
+    p = tmp_path / "s.wav"
+    pcm = (np.clip(x.T, -1, 1) * 32767.0).astype("<i2")
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    y, sr = native.read_wav(p)
+    assert sr == 16000
+    np.testing.assert_allclose(y, pcm.T.astype(np.float32) / 32768.0, atol=1e-6)
+
+
+def test_native_error_reporting(lib, tmp_path):
+    with pytest.raises(RuntimeError, match="wavcodec read failed"):
+        native.read_wav(tmp_path / "missing.wav")
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"not a wav file at all")
+    with pytest.raises(RuntimeError):
+        native.read_wav(bad)
+
+
+def test_batch_decode(lib, tmp_path):
+    paths = []
+    sigs = []
+    for i in range(6):
+        x = _sig(1, 2000 + i, seed=i)
+        p = tmp_path / f"b{i}.wav"
+        native.write_wav(p, x, 24000)
+        paths.append(str(p))
+        sigs.append(x)
+    paths.append(str(tmp_path / "nope.wav"))  # one failure
+    out = native.read_wav_batch(paths, n_threads=3)
+    assert out[-1] is None
+    for i in range(6):
+        y, sr = out[i]
+        assert sr == 24000
+        np.testing.assert_allclose(y, sigs[i], atol=1.0 / 16000)
+
+
+def test_wavio_prefers_native(lib, tmp_path):
+    x = _sig(2, 5000)
+    p = tmp_path / "w.wav"
+    wavio.write_audio(p, x, 48000)
+    y, sr = wavio.read_audio(p)
+    assert sr == 48000
+    np.testing.assert_allclose(y, x, atol=1.0 / 16000)
