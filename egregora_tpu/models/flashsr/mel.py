@@ -86,15 +86,16 @@ def log_mel(x: jnp.ndarray, sr: int = SAMPLE_RATE, n_fft: int = N_FFT,
     """``[..., T] -> [..., frames, n_mels]`` natural-log mel spectrogram.
 
     Signal is center-padded by n_fft//2 (reflect) so frame count is
-    ``T // hop + 1``; magnitudes flow through a single matmul onto the
-    MXU; dynamic range compressed as ``log(clip(mel, 1e-5))``.
+    ``T // hop + 1``.  The STFT runs as one strided windowed-DFT conv
+    (ops/stft.stft_conv) and the mel projection as one matmul — both on
+    the MXU; dynamic range compressed as ``log(clip(mel, 1e-5))``.
     """
-    from ...ops.stft import stft
+    from ...ops.stft import stft_conv
 
     pad = n_fft // 2
     xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
-    spec = stft(xp, n_fft, hop, window="hann_periodic")      # [..., F, n_fft//2+1]
-    mag = jnp.abs(spec)
+    re, im = stft_conv(xp, n_fft, hop, window="hann_periodic")
+    mag = jnp.sqrt(re * re + im * im + 1e-20)
     fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
     mel = jnp.einsum("...fk,km->...fm", mag, fb,
                      precision=jax.lax.Precision.DEFAULT)

@@ -96,14 +96,16 @@ def lowpass_fir(x: jnp.ndarray, sr: int, cutoff_hz: float, taps: int = 255) -> j
 
 def _crossover_merge(low_src: jnp.ndarray, high_src: jnp.ndarray,
                      sr: int, crossover_hz: float) -> jnp.ndarray:
-    """FFT brick-wall crossover: low band from ``low_src``, high band
-    from ``high_src`` (both ``[..., T]``, same length)."""
-    n = low_src.shape[-1]
-    lo = jnp.fft.rfft(low_src, axis=-1)
-    hi = jnp.fft.rfft(high_src, axis=-1)
-    freqs = jnp.fft.rfftfreq(n, d=1.0 / sr)
-    mask = (freqs < crossover_hz).astype(lo.dtype)
-    return jnp.fft.irfft(lo * mask + hi * (1.0 - mask), n=n, axis=-1)
+    """Linear-phase FIR crossover: low band from ``low_src``, high band
+    from ``high_src`` (both ``[..., T]``, same length).
+
+    Implemented as two lowpass convs (complementary highpass = x - lp),
+    which XLA maps onto the MXU — the earlier FFT brick wall needed a
+    245760-point (non-pow2) native TPU FFT per chunk, a measured
+    bottleneck."""
+    lo = lowpass_fir(low_src, sr, crossover_hz)
+    hi = high_src - lowpass_fir(high_src, sr, crossover_hz)
+    return lo + hi
 
 
 class FlashSRPipeline:

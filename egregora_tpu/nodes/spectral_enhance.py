@@ -75,13 +75,19 @@ def _run_engine(cs: np.ndarray, sr: int, max_iterations: int, threshold_value: f
                 toggle_autoscale: bool, device: Optional[str] = None):
     factor = upscale_factor(sr, cs.shape[0], int(target_bitrate_kbps))
     x = jnp.asarray(cs)
+    platform = jax.devices()[0].platform
     if device is not None:
         devs = [d for d in jax.devices() if d.platform == device] or \
                jax.devices(device)
         x = jax.device_put(x, devs[0])
+        platform = devs[0].platform
+    # MXU matmul-FFT path on accelerators; native FFT on CPU where dense
+    # DFT matmuls would be slower than FFTW-class transforms
+    use_mm = platform not in ("cpu",)
     y = spectral_enhance(x, factor, int(max_iterations), float(threshold_value),
                          toggle_normalize=bool(toggle_normalize),
-                         toggle_autoscale=bool(toggle_autoscale))
+                         toggle_autoscale=bool(toggle_autoscale),
+                         use_matmul_fft=use_mm)
     return np.asarray(y), sr * factor
 
 

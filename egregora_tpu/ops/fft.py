@@ -1,0 +1,149 @@
+"""FFT as MXU matmuls — the TPU-native fast path for long transforms.
+
+XLA's native TPU FFT lowers to a scalar-heavy implementation measured
+at ~2 GFLOP/s effective on v5e (a 4M-point rfft costs ~10 ms), which
+throttles the Fat-Llama IST loop (2 FFTs/iteration).  The MXU runs
+f32 matmuls at tens of TFLOP/s, so a Cooley-Tukey 2-step decomposition
+
+    x[n1*N2 + n2]  ->  X[k] :
+      1. column DFTs of length N1 (a dense [N1, N1] matmul),
+      2. twiddle multiply,
+      3. row DFTs of length N2 (a dense [N2, N2] matmul)
+
+turns an N-point FFT into two dense matmuls + elementwise twiddles —
+exactly the shape the hardware wants.  For N = 4M with N1 = N2 = 2048
+that is ~68 GFLOP of matmul per transform: ~2 ms at modest MXU
+efficiency vs ~10 ms for the native FFT, and it improves further with
+batching.
+
+Complex tensors are carried as (real, imag) float32 pairs so every
+operation is MXU/VPU-native (XLA complex support on TPU is partial).
+
+Accuracy: |error| ~ sqrt(N1) * eps relative (~1e-5 for N1 = 2048),
+ample for audio DSP; verified against numpy in tests.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=16)
+def _dft_mats(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """DFT matrix of size n as (cos, -sin) float32 pair: X = x @ (C + jS)."""
+    k = np.arange(n)
+    ang = -2.0 * np.pi * np.outer(k, k) / n
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+@functools.lru_cache(maxsize=16)
+def _twiddles(n1: int, n2: int) -> Tuple[np.ndarray, np.ndarray]:
+    """W_N^{k1*n2} twiddle factors ``[n1, n2]`` as (cos, sin)."""
+    n = n1 * n2
+    k1 = np.arange(n1)[:, None]
+    nn2 = np.arange(n2)[None, :]
+    ang = -2.0 * np.pi * (k1 * nn2) / n
+    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+def _split_factor(n: int) -> Tuple[int, int]:
+    """n = n1 * n2 with both as close to sqrt(n) as possible (pow2 n)."""
+    assert n & (n - 1) == 0, f"matmul FFT needs power-of-2 length, got {n}"
+    p = n.bit_length() - 1
+    p1 = p // 2
+    return 1 << p1, 1 << (p - p1)
+
+
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _dft_matmul(xr, xi, n, conj=False):
+    """Direct DFT along the last axis via one matmul pair."""
+    c, s = _dft_mats(n)
+    cm = jnp.asarray(c)
+    sm = jnp.asarray(-s if conj else s)
+    prec = jax.lax.Precision.HIGHEST
+    yr = jnp.matmul(xr, cm, precision=prec) - jnp.matmul(xi, sm, precision=prec)
+    yi = jnp.matmul(xr, sm, precision=prec) + jnp.matmul(xi, cm, precision=prec)
+    return yr, yi
+
+
+def fft_mm(xr: jnp.ndarray, xi: jnp.ndarray, inverse: bool = False
+           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Complex FFT along the last axis (power-of-2 length) via matmuls.
+
+    ``[..., N] x 2 -> [..., N] x 2``.  ``inverse=True`` computes the
+    unscaled inverse (conjugate transform); divide by N for ifft.
+    """
+    n = xr.shape[-1]
+    if n <= 4096:
+        return _dft_matmul(xr, xi, n, conj=inverse)
+    n1, n2 = _split_factor(n)
+    lead = xr.shape[:-1]
+    # x[n1*N2 + n2] -> view [..., N1, N2]; DFT over n1 (axis -2) first
+    xr2 = xr.reshape(lead + (n1, n2))
+    xi2 = xi.reshape(lead + (n1, n2))
+    # column transform: move N1 last
+    cr, ci = fft_mm(jnp.swapaxes(xr2, -1, -2), jnp.swapaxes(xi2, -1, -2),
+                    inverse=inverse)
+    cr = jnp.swapaxes(cr, -1, -2)  # [..., K1, N2]
+    ci = jnp.swapaxes(ci, -1, -2)
+    tw_r, tw_i = _twiddles(n1, n2)
+    tw_r = jnp.asarray(tw_r)
+    tw_i = jnp.asarray(-tw_i if inverse else tw_i)
+    cr, ci = _cmul(cr, ci, tw_r, tw_i)
+    # row transform over n2
+    yr, yi = fft_mm(cr, ci, inverse=inverse)      # [..., K1, K2]
+    # X[k2*N1 + k1] = Y[k1, k2] -> transpose then flatten
+    yr = jnp.swapaxes(yr, -1, -2).reshape(lead + (n,))
+    yi = jnp.swapaxes(yi, -1, -2).reshape(lead + (n,))
+    return yr, yi
+
+
+def rfft_mm(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Real-input FFT via the packed even/odd trick: one complex FFT of
+    length N/2 + O(N) untangling.  Returns (re, im) of ``[..., N//2+1]``.
+    """
+    n = x.shape[-1]
+    half = n // 2
+    xe = x[..., 0::2]
+    xo = x[..., 1::2]
+    zr, zi = fft_mm(xe, xo)                                  # [..., half]
+    # untangle: X[k] = (Z[k] + conj(Z[-k]))/2 - j/2 W^k (Z[k] - conj(Z[-k]))
+    idx = (-jnp.arange(half)) % half
+    zcr = jnp.take(zr, idx, axis=-1)
+    zci = -jnp.take(zi, idx, axis=-1)
+    er, ei = (zr + zcr) * 0.5, (zi + zci) * 0.5
+    orr, ori = (zi - zci) * 0.5, -(zr - zcr) * 0.5           # -j/2 (Z - Zc)
+    k = np.arange(half)
+    ang = -2.0 * np.pi * k / n
+    wr, wi = jnp.asarray(np.cos(ang).astype(np.float32)), jnp.asarray(
+        np.sin(ang).astype(np.float32))
+    tr, ti = _cmul(orr, ori, wr, wi)
+    xr = er + tr                                             # k = 0..half-1
+    xi = ei + ti
+    # Nyquist bin: X[N/2] = E[0] - O[0]
+    xr = jnp.concatenate([xr, er[..., 0:1] - orr[..., 0:1]], axis=-1)
+    xi = jnp.concatenate([xi, ei[..., 0:1] - ori[..., 0:1]], axis=-1)
+    return xr, xi
+
+
+def irfft_mm(xr: jnp.ndarray, xi: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Inverse of rfft_mm -> real ``[..., n]`` (n power of 2).
+
+    Uses the conjugate-symmetric full spectrum + inverse complex FFT;
+    costs one length-n complex inverse transform.
+    """
+    # rebuild full spectrum [..., n]
+    body_r = xr[..., 1:-1]
+    body_i = xi[..., 1:-1]
+    fr = jnp.concatenate([xr, body_r[..., ::-1]], axis=-1)
+    fi = jnp.concatenate([xi, -body_i[..., ::-1]], axis=-1)
+    yr, _ = fft_mm(fr, fi, inverse=True)
+    return yr / n

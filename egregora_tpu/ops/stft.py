@@ -100,6 +100,41 @@ def istft(spec: jnp.ndarray, n_fft: int, hop: int, length: int, *,
     return jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, length - total)])
 
 
+@functools.lru_cache(maxsize=8)
+def _windowed_dft_kernel(n_fft: int, window: str) -> np.ndarray:
+    """``[2*(n_fft//2+1), 1, n_fft]`` conv kernel: windowed DFT basis
+    (cos rows then -sin rows) so a strided conv IS the STFT."""
+    w = hann_periodic(n_fft) if window == "hann_periodic" else hann_symmetric(n_fft)
+    k = np.arange(n_fft // 2 + 1)[:, None]
+    n = np.arange(n_fft)[None, :]
+    ang = -2.0 * np.pi * k * n / n_fft
+    basis = np.concatenate([np.cos(ang), np.sin(ang)], axis=0) * w[None, :]
+    return basis.astype(np.float32)[:, None, :]
+
+
+def stft_conv(x: jnp.ndarray, n_fft: int, hop: int, *,
+              window: str = "hann_periodic") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """STFT as ONE strided convolution on the MXU.
+
+    ``[..., T] -> (re, im)`` each ``[..., frames, n_fft//2+1]`` with
+    ``frames = 1 + (T - n_fft)//hop``.  XLA lowers the strided conv to
+    an im2col matmul — far faster on TPU than gather-frame + native FFT
+    (which lowers to a scalar-heavy transform).  Used by hot model
+    front-ends (mel); the eval path keeps ``stft`` for bit-parity.
+    """
+    lead = x.shape[:-1]
+    t = x.shape[-1]
+    lhs = x.reshape((-1, 1, t)).astype(jnp.float32)
+    rhs = jnp.asarray(_windowed_dft_kernel(n_fft, window))
+    y = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(hop,), padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        preferred_element_type=jnp.float32)          # [B, 2F, frames]
+    nbins = n_fft // 2 + 1
+    y = jnp.swapaxes(y, -1, -2).reshape(lead + (y.shape[-1], 2 * nbins))
+    return y[..., :nbins], y[..., nbins:]
+
+
 def spectrogram_db(x: jnp.ndarray, n_fft: int = 2048, hop: int = 512,
                    floor: float = 1e-9) -> jnp.ndarray:
     """20*log10(|STFT|) in the reference plotter's convention (null suite :532-534)."""

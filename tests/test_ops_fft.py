@@ -1,0 +1,49 @@
+"""Matmul-FFT (ops/fft.py) correctness vs numpy."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egregora_tpu.ops.fft import fft_mm, irfft_mm, rfft_mm
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+@pytest.mark.parametrize("n", [64, 256, 4096, 65536, 1 << 20])
+def test_rfft_matches_numpy(n, rng):
+    x = rng.standard_normal(n).astype(np.float32)
+    r, i = rfft_mm(jnp.asarray(x))
+    got = np.asarray(r) + 1j * np.asarray(i)
+    ref = np.fft.rfft(x)
+    assert got.shape == ref.shape
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 5e-6
+
+
+@pytest.mark.parametrize("n", [256, 32768])
+def test_irfft_roundtrip(n, rng):
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    r, i = rfft_mm(jnp.asarray(x))
+    back = np.asarray(irfft_mm(r, i, n))
+    np.testing.assert_allclose(back, x, atol=2e-5)
+
+
+def test_complex_fft_and_inverse(rng):
+    n = 8192
+    xr = rng.standard_normal(n).astype(np.float32)
+    xi = rng.standard_normal(n).astype(np.float32)
+    fr, fi = fft_mm(jnp.asarray(xr), jnp.asarray(xi))
+    ref = np.fft.fft(xr + 1j * xi)
+    got = np.asarray(fr) + 1j * np.asarray(fi)
+    assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 5e-6
+    br, bi = fft_mm(fr, fi, inverse=True)
+    np.testing.assert_allclose(np.asarray(br) / n, xr, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(bi) / n, xi, atol=2e-5)
+
+
+def test_ist_same_result_both_fft_paths(rng):
+    from egregora_tpu.ops.spectral import ist_upscale
+    x = (0.4 * np.sin(2 * np.pi * 440 * np.arange(4096) / 16000)
+         ).astype(np.float32)[None]
+    a = np.asarray(ist_upscale(jnp.asarray(x), 2, 10, 0.3, use_matmul_fft=False))
+    b = np.asarray(ist_upscale(jnp.asarray(x), 2, 10, 0.3, use_matmul_fft=True))
+    np.testing.assert_allclose(a, b, atol=5e-4)
