@@ -1,30 +1,24 @@
-"""Library-call equivalent of the example workflow graph
-(examples/audio_super_resolution_workflow.json): load -> FlashSR ->
-Fat Llama enhance -> save, entirely through the node registry.
+"""Run the example workflow graph through the framework's executor.
 
 Usage: python examples/run_workflow.py input.wav output.wav
 """
 import sys
+from pathlib import Path
 
-import numpy as np
-
-import egregora_tpu
-from egregora_tpu.nodes.base import comfy_audio
-from egregora_tpu.utils.wavio import read_audio, write_audio
+from egregora_tpu.pipeline.executor import WorkflowExecutor
 
 
 def main(in_path: str, out_path: str) -> None:
-    cs, sr = read_audio(in_path)
-    audio = comfy_audio(sr, cs)
-
-    upscaler = egregora_tpu.NODE_CLASS_MAPPINGS["EgregoraAudioUpscaler"]()
-    (sr48,) = upscaler.run(audio, lowpass_input=False, output_sr="48000")
-
-    fat = egregora_tpu.NODE_CLASS_MAPPINGS["EgregoraFatLlamaGPU"]()
-    (enhanced,) = fat.run("wav", 300, 0.6, 1411, True, True, AUDIO=sr48)
-
+    wf_path = Path(__file__).parent / "audio_super_resolution_workflow.json"
+    ex = WorkflowExecutor()
+    results = ex.run(wf_path, overrides={"1": {"path": in_path}})
+    # node 4 is the Fat Llama enhance stage; save its output
+    enhanced = results["4"][0]
+    from egregora_tpu.utils.wavio import write_audio
     write_audio(out_path, enhanced["samples"], enhanced["sample_rate"])
     print(f"wrote {out_path} @ {enhanced['sample_rate']} Hz")
+    for node, stats in ex.timing_summary().items():
+        print(f"  {node}: {stats['total_s']:.2f}s over {int(stats['calls'])} call(s)")
 
 
 if __name__ == "__main__":
