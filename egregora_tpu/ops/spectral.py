@@ -49,7 +49,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .fft import irfft_mm, rfft_mm
+from .fft import irfft_permuted, rfft_permuted
 from .resample import resample_poly
 
 
@@ -106,16 +106,22 @@ def ist_upscale(x_cs: jnp.ndarray, factor: int, max_iterations: int,
 
     def gate(re, im):
         mag2 = re * re + im * im
-        tau2 = jnp.square(thr) * jnp.max(mag2, axis=-1, keepdims=True)
+        # reduce over every spectral axis (the permuted layout is 2-D
+        # per channel), keep the leading channel axis
+        axes = tuple(range(1, mag2.ndim))
+        tau2 = jnp.square(thr) * jnp.max(mag2, axis=axes, keepdims=True)
         keep = mag2 >= tau2
         return re * keep, im * keep
 
     if use_matmul_fft:
+        # permuted-spectrum MXU transform: magnitude gating is
+        # permutation-invariant, so bin order never needs fixing up
+        # (see ops/fft.rfft_permuted)
         def body(_, x):
             z = clamp_observed(x)
-            re, im = rfft_mm(z)
+            re, im, _ = rfft_permuted(z)
             re, im = gate(re, im)
-            return irfft_mm(re, im, n_fft).astype(jnp.float32)
+            return irfft_permuted(re, im, n_fft).astype(jnp.float32)
     else:
         def body(_, x):
             z = clamp_observed(x)
