@@ -129,8 +129,12 @@ class FlashSRPipeline:
         mel = log_mel(x)[:, :MEL_FRAMES, :]          # [B, 512, 256]
         z_lr = self.modules.vae.apply(params["vae"], mel[..., None],
                                       method=MelVAE.encode)
-        noise = jax.random.normal(jax.random.PRNGKey(cfg.noise_seed), z_lr.shape,
-                                  jnp.float32)
+        # one deterministic noise map broadcast over the batch: results
+        # are independent of how chunks are batched (streaming == one
+        # shot) and overlapping chunks see consistent noise
+        noise = jax.random.normal(jax.random.PRNGKey(cfg.noise_seed),
+                                  (1,) + z_lr.shape[1:], jnp.float32)
+        noise = jnp.broadcast_to(noise, z_lr.shape)
         z_in = jnp.concatenate([noise, z_lr], axis=-1)
         t = jnp.ones((z_in.shape[0],), jnp.float32)
         z_hr = self.modules.unet.apply(params["student_ldm"], z_in, t)
@@ -147,8 +151,15 @@ class FlashSRPipeline:
 
     # ---- full-file processing (node-facing) ----
     def process(self, audio: AudioBuffer, lowpass_input: bool = False,
-                output_sr: int = 48000, pad_to_multiple: int = 1) -> AudioBuffer:
-        """The reference node flow (``run``, :388-431) on device."""
+                output_sr: int = 48000, pad_to_multiple: int = 1,
+                max_batch: Optional[int] = None) -> AudioBuffer:
+        """The reference node flow (``run``, :388-431) on device.
+
+        ``max_batch`` bounds device memory for long inputs: chunk
+        batches stream through the same compiled program (static batch
+        shape => one compilation) and the Hann-weighted partial sums
+        accumulate on device; None processes everything in one batch.
+        """
         x = audio.samples
         if audio.sample_rate != REQ_SR:
             x = resample(x, audio.sample_rate, REQ_SR)
@@ -157,10 +168,27 @@ class FlashSRPipeline:
         chunks, starts, lengths = chunk_batch(x, CHUNK_SAMPLES, HOP_SAMPLES,
                                               pad_to_multiple=pad_to_multiple)
         k = chunks.shape[0]
-        flat = chunks.reshape(k * c, CHUNK_SAMPLES)      # channels ride the batch
-        preds = self._jit_forward(self.params, flat, lowpass_input=lowpass_input)
-        preds = preds.reshape(k, c, CHUNK_SAMPLES)
-        out = wola_stitch(preds, starts, lengths, total, CHUNK_SAMPLES)
+
+        if max_batch is None or k <= max_batch:
+            flat = chunks.reshape(k * c, CHUNK_SAMPLES)  # channels ride the batch
+            preds = self._jit_forward(self.params, flat,
+                                      lowpass_input=lowpass_input)
+            preds = preds.reshape(k, c, CHUNK_SAMPLES)
+            out = wola_stitch(preds, starts, lengths, total, CHUNK_SAMPLES)
+        else:
+            # streaming: fixed-shape batches through one compiled program
+            b = int(max_batch)
+            preds_parts = []
+            for s0 in range(0, k, b):
+                batch = chunks[s0: s0 + b]
+                if batch.shape[0] < b:   # pad tail batch to the static shape
+                    batch = jnp.pad(batch, ((0, b - batch.shape[0]), (0, 0), (0, 0)))
+                flat = batch.reshape(b * c, CHUNK_SAMPLES)
+                pred = self._jit_forward(self.params, flat,
+                                         lowpass_input=lowpass_input)
+                preds_parts.append(pred.reshape(b, c, CHUNK_SAMPLES)[: min(b, k - s0)])
+            preds = jnp.concatenate(preds_parts, axis=0)
+            out = wola_stitch(preds, starts, lengths, total, CHUNK_SAMPLES)
 
         if int(output_sr) != REQ_SR:
             out = resample(out, REQ_SR, int(output_sr))

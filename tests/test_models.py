@@ -196,3 +196,15 @@ def test_chunk_parallel_matches_single_device(tiny_pipe):
     out = wola_stitch(y_sharded[:, None, :], starts, lengths, x.shape[1],
                       CHUNK_SAMPLES)
     assert out.shape == x.shape
+
+
+def test_flashsr_streaming_matches_oneshot(tiny_pipe):
+    """max_batch streaming must be bit-identical to one-shot processing
+    (noise latent is batch-position invariant)."""
+    from egregora_tpu.core.audio import AudioBuffer
+    x = np.random.default_rng(5).standard_normal(
+        (1, CHUNK_SAMPLES + 3 * HOP_SAMPLES)).astype(np.float32) * 0.1
+    buf = AudioBuffer(jnp.asarray(x), 48000, {})
+    a = tiny_pipe.process(buf)
+    b = tiny_pipe.process(buf, max_batch=2)
+    np.testing.assert_array_equal(np.asarray(a.samples), np.asarray(b.samples))
