@@ -65,17 +65,27 @@ class FlashSRModules:
 
     def init_params(self, seed: int = 0) -> dict:
         """Random-init parameter trio (stand-in until ``.pth`` conversion;
-        the tree layout is what utils/weights.py converts into)."""
-        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
-        mel_img = jnp.zeros((1, MEL_FRAMES, N_MELS, 1), jnp.float32)
-        z = jnp.zeros((1, MEL_FRAMES // 4, N_MELS // 4,
-                       self.cfg.unet.in_channels), jnp.float32)
-        mel = jnp.zeros((1, MEL_FRAMES, N_MELS), jnp.float32)
-        return {
-            "vae": self.vae.init(k1, mel_img),
-            "student_ldm": self.unet.init(k2, z, jnp.zeros((1,))),
-            "sr_vocoder": self.vocoder.init(k3, mel),
-        }
+        the tree layout is what utils/weights.py converts into).
+
+        Initialization runs on the host CPU backend and transfers once:
+        eager per-layer init through a remote-TPU relay costs hundreds
+        of round trips (measured minutes of wall clock).
+        """
+        def build():
+            k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+            mel_img = jnp.zeros((1, MEL_FRAMES, N_MELS, 1), jnp.float32)
+            z = jnp.zeros((1, MEL_FRAMES // 4, N_MELS // 4,
+                           self.cfg.unet.in_channels), jnp.float32)
+            mel = jnp.zeros((1, MEL_FRAMES, N_MELS), jnp.float32)
+            return {
+                "vae": self.vae.init(k1, mel_img),
+                "student_ldm": self.unet.init(k2, z, jnp.zeros((1,))),
+                "sr_vocoder": self.vocoder.init(k3, mel),
+            }
+
+        from ...utils.weights import fast_init_like
+        shapes = jax.eval_shape(build)
+        return fast_init_like(shapes, seed)
 
 
 def lowpass_fir(x: jnp.ndarray, sr: int, cutoff_hz: float, taps: int = 255) -> jnp.ndarray:

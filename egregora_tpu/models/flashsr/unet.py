@@ -35,7 +35,10 @@ class UNetConfig:
     base_channels: int = 128
     channel_mults: Sequence[int] = (1, 2, 4)
     num_res_blocks: int = 2
-    attn_levels: Sequence[int] = (1, 2)
+    # attention only at the deepest level (512 latent tokens): at level 1
+    # the 2048-token naive attention materializes ~1 GB of [B,h,T,T]
+    # scores per layer — HBM-bound and compile-bloating for no SR gain
+    attn_levels: Sequence[int] = (2,)
     num_heads: int = 8
     time_dim: int = 512
     groups: int = 32

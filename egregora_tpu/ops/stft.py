@@ -114,24 +114,20 @@ def _windowed_dft_kernel(n_fft: int, window: str) -> np.ndarray:
 
 def stft_conv(x: jnp.ndarray, n_fft: int, hop: int, *,
               window: str = "hann_periodic") -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """STFT as ONE strided convolution on the MXU.
+    """STFT as frame-gather + ONE dense windowed-DFT matmul on the MXU.
 
     ``[..., T] -> (re, im)`` each ``[..., frames, n_fft//2+1]`` with
-    ``frames = 1 + (T - n_fft)//hop``.  XLA lowers the strided conv to
-    an im2col matmul — far faster on TPU than gather-frame + native FFT
-    (which lowers to a scalar-heavy transform).  Used by hot model
-    front-ends (mel); the eval path keeps ``stft`` for bit-parity.
+    ``frames = 1 + (T - n_fft)//hop``.  Much faster on TPU than
+    gather-frame + native FFT (which lowers scalar-heavy); expressing
+    it as a 2048-tap strided conv instead compiles pathologically, so
+    the im2col is done explicitly by ``frame`` and the DFT is a plain
+    ``[n_fft, 2*(n_fft//2+1)]`` matmul.  Used by hot model front-ends
+    (mel); the eval path keeps ``stft`` for bit-parity.
     """
-    lead = x.shape[:-1]
-    t = x.shape[-1]
-    lhs = x.reshape((-1, 1, t)).astype(jnp.float32)
-    rhs = jnp.asarray(_windowed_dft_kernel(n_fft, window))
-    y = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(hop,), padding="VALID",
-        dimension_numbers=("NCW", "OIW", "NCW"),
-        preferred_element_type=jnp.float32)          # [B, 2F, frames]
+    fr = frame(x, n_fft, hop)                        # [..., frames, n_fft]
+    basis = jnp.asarray(_windowed_dft_kernel(n_fft, window)[:, 0, :])  # [2F, n_fft]
+    y = jnp.einsum("...fn,kn->...fk", fr, basis)     # [..., frames, 2F]
     nbins = n_fft // 2 + 1
-    y = jnp.swapaxes(y, -1, -2).reshape(lead + (y.shape[-1], 2 * nbins))
     return y[..., :nbins], y[..., nbins:]
 
 
