@@ -89,19 +89,17 @@ class FlashSRModules:
 
 
 def lowpass_fir(x: jnp.ndarray, sr: int, cutoff_hz: float, taps: int = 255) -> jnp.ndarray:
-    """Linear-phase windowed-sinc lowpass along the last axis."""
+    """Linear-phase windowed-sinc lowpass along the last axis.
+
+    Runs as an overlap-save Toeplitz matmul (ops/fir.py) — a 1-channel
+    XLA conv never reaches the MXU (measured 260 ms vs ~2 ms per
+    batch-8 chunk pair)."""
+    from ...ops.fir import fir_same
     n = np.arange(taps) - (taps - 1) / 2.0
     wc = cutoff_hz / (sr / 2.0)
     h = np.sinc(wc * n) * wc * np.hamming(taps)
     h = (h / h.sum()).astype(np.float32)
-    lead = x.shape[:-1]
-    lhs = x.reshape((-1, 1, x.shape[-1]))
-    rhs = jnp.asarray(h)[None, None, :]
-    pad = (taps - 1) // 2
-    y = jax.lax.conv_general_dilated(
-        lhs, rhs, (1,), [(pad, taps - 1 - pad)],
-        dimension_numbers=("NCW", "OIW", "NCW"))
-    return y.reshape(lead + (x.shape[-1],))
+    return fir_same(x, h)
 
 
 def _crossover_merge(low_src: jnp.ndarray, high_src: jnp.ndarray,

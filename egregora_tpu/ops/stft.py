@@ -112,19 +112,45 @@ def _windowed_dft_kernel(n_fft: int, window: str) -> np.ndarray:
     return basis.astype(np.float32)[:, None, :]
 
 
+def frame_strided(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """Gather-free framing: ``[..., T] -> [..., frames, n_fft]``.
+
+    TPU lowers arbitrary-index gathers scalar-slow (the ``frame``
+    gather measured ~50 ms for a batch-8 mel front-end).  Overlapping
+    frames decompose into pure slices instead: view the signal as
+    hop-sized blocks ``[nb, hop]``; frame i is the concatenation of
+    blocks i..i+k (+ a partial block), and "blocks i..i+k for all i"
+    is just k shifted slices of the block array.  Zero gathers.
+    """
+    f = num_frames(x.shape[-1], n_fft, hop)
+    k_full, rem = divmod(n_fft, hop)
+    nb_needed = f - 1 + k_full + (1 if rem else 0)
+    t_needed = nb_needed * hop
+    pad = t_needed - x.shape[-1]
+    if pad > 0:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    else:
+        x = x[..., :t_needed]
+    blocks = x.reshape(x.shape[:-1] + (nb_needed, hop))
+    parts = [blocks[..., j: j + f, :] for j in range(k_full)]
+    if rem:
+        parts.append(blocks[..., k_full: k_full + f, : rem])
+    return jnp.concatenate(parts, axis=-1)
+
+
 def stft_conv(x: jnp.ndarray, n_fft: int, hop: int, *,
               window: str = "hann_periodic") -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """STFT as frame-gather + ONE dense windowed-DFT matmul on the MXU.
+    """STFT as strided framing + ONE dense windowed-DFT matmul (MXU).
 
     ``[..., T] -> (re, im)`` each ``[..., frames, n_fft//2+1]`` with
     ``frames = 1 + (T - n_fft)//hop``.  Much faster on TPU than
-    gather-frame + native FFT (which lowers scalar-heavy); expressing
-    it as a 2048-tap strided conv instead compiles pathologically, so
-    the im2col is done explicitly by ``frame`` and the DFT is a plain
+    gather-frame + native FFT (which lowers scalar-heavy); a 2048-tap
+    strided-conv formulation compiles pathologically, so im2col is
+    done by ``frame_strided`` (pure slices) and the DFT is a plain
     ``[n_fft, 2*(n_fft//2+1)]`` matmul.  Used by hot model front-ends
     (mel); the eval path keeps ``stft`` for bit-parity.
     """
-    fr = frame(x, n_fft, hop)                        # [..., frames, n_fft]
+    fr = frame_strided(x, n_fft, hop)                # [..., frames, n_fft]
     basis = jnp.asarray(_windowed_dft_kernel(n_fft, window)[:, 0, :])  # [2F, n_fft]
     y = jnp.einsum("...fn,kn->...fk", fr, basis)     # [..., frames, 2F]
     nbins = n_fft // 2 + 1
