@@ -37,9 +37,18 @@ def main() -> None:
         arr.block_until_ready()
         return float(np.asarray(arr[0, :4]).sum())
 
-    batch = 8
-    y = fwd(pipe.params, batch_input(batch))
-    sync(y)  # compile + settle
+    batch = 16
+    while batch >= 1:
+        try:
+            y = fwd(pipe.params, batch_input(batch))
+            sync(y)  # compile + settle
+            break
+        except Exception:
+            batch //= 2
+    if batch < 1:
+        print(json.dumps({"metric": "flashsr_rtf_48k", "value": 0.0,
+                          "unit": "x_realtime_per_chip", "vs_baseline": 0.0}))
+        return
 
     # warmed; time steady state on fresh inputs, syncing via host reads
     trials = 3
