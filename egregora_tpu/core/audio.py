@@ -20,7 +20,7 @@ Shape-coercion semantics intentionally match the reference:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Mapping, Optional, Tuple, Union
+from typing import Any, Dict, Mapping, Optional, Union
 
 import jax
 import jax.numpy as jnp

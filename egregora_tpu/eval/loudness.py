@@ -13,7 +13,6 @@ per-block Python loops by framed reductions.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ them with alignment for ``Null_Test_Full`` (null suite :616-657).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ scale, natural-log dynamic compression).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ import numpy as np
 from ...core.audio import AudioBuffer
 from ...ops.resample import resample
 from ...ops.wola import chunk_batch, wola_stitch
-from .mel import HOP, N_FFT, N_MELS, SAMPLE_RATE, log_mel
+from .mel import HOP, N_MELS, SAMPLE_RATE, log_mel
 from .unet import StudentUNet, UNetConfig
 from .vae import MelVAE, VAEConfig
 from .vocoder import SRVocoder, VocoderConfig

@@ -15,7 +15,6 @@ Loss: given paired (lr_wave, hr_wave) 48 kHz chunks,
 from __future__ import annotations
 
 import functools
-from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ the autoencoder (keeps the chunk batch fully conv-parallel on the MXU).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -21,7 +21,6 @@ framework's shared perfect-reconstruction STFT (ops/stft.py).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ no C/Rust/torch backends; the VAD-adaptive mix machinery is shared
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,7 @@ sharded program rather than a sequential per-chunk loop.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Optional
 
 from ..models.flashsr.pipeline import FlashSRConfig, FlashSRPipeline
 from .base import buffer_to_comfy, to_buffer

@@ -25,7 +25,6 @@ ample for audio DSP; verified against numpy in tests.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Tuple
 
 import jax

@@ -9,9 +9,7 @@ frames (gather-free, ops/stft.frame_strided): ~2 ms for the same work.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

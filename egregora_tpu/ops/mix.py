@@ -15,10 +15,8 @@ Semantics match the reference:
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from .iir import ema_smooth

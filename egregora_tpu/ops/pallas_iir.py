@@ -9,11 +9,14 @@ passes for a 4M-sample signal).  This kernel does it in ONE pass:
   carry lives in SMEM scratch across grid steps (streaming kernel);
 * within a block the recurrence is parallelized across 128 lanes: lane
   ``l`` owns the contiguous sub-segment ``[l*ROWS, (l+1)*ROWS)``.  The
-  block is transposed in VMEM to ``[ROWS, LANES]`` so each sequential
-  step is one full-width VPU row op; lane carries are then combined by
-  a 128-step scalar prefix pass, and a rank-1 correction
-  ``offset_lane * k^(r+1)`` fixes every element — the classic
-  two-level block-scan decomposition.
+  block is transposed once into VMEM scratch as ``[ROWS, LANES]`` so
+  each sequential step is one full-width VPU row op (per-row state in
+  the loop carry, rows stored through the mutable scratch ref — Mosaic
+  has no value-level dynamic_slice);
+* lane carries combine through a lower-triangular ``k^(R*(l-1-m))``
+  matrix — one 128x128 MXU matmul instead of a scalar prefix loop;
+* a rank-1 correction ``offset_lane * k^(r+1)`` fixes every element —
+  the classic two-level block-scan decomposition.
 
 Solves ``z[n] = (1-k) x[n] + k z[n-1]`` (z[-1] = 0) per channel; the
 K-weight wrapper (x - z + HF tilt) stays in XLA where it fuses.
@@ -21,7 +24,6 @@ K-weight wrapper (x - z + HF tilt) stays in XLA where it fuses.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +36,23 @@ ROWS = 256                      # samples per lane per block
 BLOCK = LANES * ROWS            # 32768 samples / grid step
 
 
-def _iir_block_kernel(x_ref, out_ref, carry_ref, *, k: float):
+@functools.lru_cache(maxsize=16)
+def _lane_prefix_mats(k: float):
+    """(T [L, L], p [L]): offs = T @ z_last + carry * p.
+
+    ``T[l, m] = k^(ROWS*(l-1-m))`` for m < l (how much of segment m's
+    final state survives into segment l's start), ``p[l] = k^(ROWS*l)``.
+    """
+    l = np.arange(LANES)
+    expo = (l[:, None] - 1 - l[None, :]).astype(np.float64) * ROWS
+    with np.errstate(over="ignore", under="ignore"):
+        t = np.where(l[:, None] > l[None, :], np.power(float(k), expo), 0.0)
+        p = np.power(float(k), (l * ROWS).astype(np.float64))
+    return t.astype(np.float32), p.astype(np.float32)
+
+
+def _iir_block_kernel(x_ref, t_ref, p_ref, out_ref, carry_ref, xt_s, z_s, *,
+                      k: float):
     """One grid step: scan BLOCK samples given carry in carry_ref[0]."""
     i = pl.program_id(0)
 
@@ -45,40 +63,30 @@ def _iir_block_kernel(x_ref, out_ref, carry_ref, *, k: float):
     k_ = jnp.float32(k)
     one_m_k = jnp.float32(1.0 - k)
 
-    # [1, BLOCK] -> segments-as-lanes layout [ROWS, LANES]
-    xt = x_ref[0, :].reshape(LANES, ROWS).T
+    # one vectorized transpose into scratch: [ROWS, LANES], lane = segment
+    xt_s[...] = x_ref[0, :].reshape(LANES, ROWS).T
 
-    # 1) local scans: 128 independent segments, one VPU row per step
-    def body(r, state):
-        z_prev, acc = state                       # z_prev [1, LANES]
-        z_new = one_m_k * xt[r, :][None, :] + k_ * z_prev
-        acc = jax.lax.dynamic_update_slice(acc, z_new, (r, 0))
-        return z_new, acc
+    # 1) local scans: 128 independent segments, one VPU row per step;
+    # rows stream through the mutable scratch ref
+    def body(r, z_prev):
+        z_new = one_m_k * xt_s[pl.ds(r, 1), :] + k_ * z_prev   # [1, LANES]
+        z_s[pl.ds(r, 1), :] = z_new
+        return z_new
 
-    z0 = jnp.zeros((1, LANES), jnp.float32)
-    acc0 = jnp.zeros((ROWS, LANES), jnp.float32)
-    z_last, local = jax.lax.fori_loop(0, ROWS, body, (z0, acc0))
-    z_last = z_last[0]                            # [LANES]
+    z_last = jax.lax.fori_loop(0, ROWS, body, jnp.zeros((1, LANES), jnp.float32))
 
-    # 2) lane-prefix: offset_l = z-state entering lane l, seeded by the
-    # inter-block carry; decay per whole lane segment is k^ROWS.
+    # 2) lane-prefix as one MXU matmul
+    carry_in = carry_ref[0]
+    offs = (jnp.dot(t_ref[...], z_last[0][:, None],
+                    preferred_element_type=jnp.float32)[:, 0]
+            + carry_in * p_ref[0, :])                          # [LANES]
     kR = jnp.float32(k ** ROWS)
+    carry_ref[0] = z_last[0, LANES - 1] + kR * offs[LANES - 1]
 
-    def lane_body(l, state):
-        prev, offs = state
-        offs = jax.lax.dynamic_update_slice(offs, prev[None, None], (0, l))
-        nxt = z_last[l] + kR * prev
-        return nxt, offs
-
-    block_carry, offsets = jax.lax.fori_loop(
-        0, LANES, lane_body,
-        (carry_ref[0], jnp.zeros((1, LANES), jnp.float32)))
-    carry_ref[0] = block_carry
-
-    # 3) rank-1 correction: z[r, l] += offset_l * k^(r+1)
+    # 3) rank-1 correction: z[r, l] += offs[l] * k^(r+1)
     r_idx = jax.lax.broadcasted_iota(jnp.float32, (ROWS, 1), 0)
     powers = k_ * jnp.exp(r_idx * jnp.log(k_))
-    z = local + offsets * powers                  # [ROWS, LANES]
+    z = z_s[...] + offs[None, :] * powers                      # [ROWS, LANES]
     out_ref[0, :] = z.T.reshape(BLOCK)
 
 
@@ -93,17 +101,29 @@ def iir_lowpass_pallas(x: jnp.ndarray, k: float) -> jnp.ndarray:
     xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, n_pad - n)))
     grid = n_pad // BLOCK
 
+    t_mat, p_vec = _lane_prefix_mats(float(k))
+    t_mat = jnp.asarray(t_mat)
+    p_vec = jnp.asarray(p_vec)[None, :]
+
     def one_channel(xc):
         return pl.pallas_call(
             functools.partial(_iir_block_kernel, k=float(k)),
             out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
             grid=(grid,),
             in_specs=[pl.BlockSpec((1, BLOCK), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, LANES), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((1, BLOCK), lambda i: (0, i),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
-        )(xc[None, :])[0]
+            scratch_shapes=[
+                pltpu.SMEM((1,), jnp.float32),
+                pltpu.VMEM((ROWS, LANES), jnp.float32),
+                pltpu.VMEM((ROWS, LANES), jnp.float32),
+            ],
+        )(xc[None, :], t_mat, p_vec)[0]
 
     out = jnp.stack([one_channel(xp[i]) for i in range(c)])
     return out[:, :n]

@@ -11,7 +11,7 @@ broadcast and final gathers — the layout SURVEY.md §5 calls for.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Tuple, Union
+from typing import Any, Dict, Optional, Tuple, Union
 
 from ..nodes.base import comfy_audio
 from ..utils.profiling import GLOBAL_TIMER, NodeTimer

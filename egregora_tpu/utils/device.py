@@ -9,7 +9,7 @@ policy.
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 
 def available_platforms() -> List[str]:

@@ -9,7 +9,6 @@ policy (``__init__.py:8-30``) applied to the native layer.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple

@@ -15,7 +15,7 @@ import contextlib
 import threading
 import time
 from collections import defaultdict
-from typing import Any, Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 
 @contextlib.contextmanager

@@ -8,7 +8,6 @@ importable and otherwise falls back to a dependency-free WAV codec
 """
 from __future__ import annotations
 
-import struct
 import wave
 from pathlib import Path
 from typing import Tuple, Union

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from egregora_tpu.eval.loudness import (integrated_lufs, loudness_report, lra_short_term,
-                                        lufs_series, rms_db, true_peak_dbfs)
+                                        lufs_series, true_peak_dbfs)
 from egregora_tpu.ops.iir import ema_smooth, k_weight
 
 
