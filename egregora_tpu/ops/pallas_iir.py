@@ -84,7 +84,8 @@ def _iir_block_kernel(x_ref, t_ref, p_ref, out_ref, carry_ref, xt_s, z_s, *,
     carry_ref[0] = z_last[0, LANES - 1] + kR * offs[LANES - 1]
 
     # 3) rank-1 correction: z[r, l] += offs[l] * k^(r+1)
-    r_idx = jax.lax.broadcasted_iota(jnp.float32, (ROWS, 1), 0)
+    # iota must be integer-typed on TPU (tpu.iota verification)
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 1), 0).astype(jnp.float32)
     powers = k_ * jnp.exp(r_idx * jnp.log(k_))
     z = z_s[...] + offs[None, :] * powers                      # [ROWS, LANES]
     out_ref[0, :] = z.T.reshape(BLOCK)
