@@ -25,6 +25,7 @@ ample for audio DSP; verified against numpy in tests.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -56,6 +57,29 @@ def _split_factor(n: int) -> Tuple[int, int]:
     p = n.bit_length() - 1
     p1 = p // 2
     return 1 << p1, 1 << (p - p1)
+
+
+@functools.lru_cache(maxsize=64)
+def balanced_factors(n: int, max_factor: int = 4096) -> Tuple[int, int] | None:
+    """``n = n1 * n2`` with both <= max_factor minimizing n1 + n2, or None.
+
+    Lets the permuted transform run MIXED-RADIX lengths directly (DFT
+    matrices are dense, so any factor works): e.g. a 30 s 16 kHz mono
+    input upscaled 6x is 2,880,000 samples = 1600 x 1800 — transforming
+    it exactly instead of padding to 4,194,304 saves ~43% of the matmul
+    work in the IST loop.
+    """
+    best = None
+    i = int(math.isqrt(n))
+    while i >= 2:
+        if n % i == 0:
+            j = n // i
+            if i <= max_factor and j <= max_factor:
+                return (i, j)
+            if j > max_factor:
+                return best
+        i -= 1
+    return best
 
 
 def _cmul(ar, ai, br, bi):
@@ -137,7 +161,7 @@ def rfft_permuted(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[int, 
     Use ONLY with ``irfft_permuted``.
     """
     n = x.shape[-1]
-    n1, n2 = _split_factor(n)
+    n1, n2 = balanced_factors(n) or _split_factor(n)
     lead = x.shape[:-1]
     xv = x.reshape(lead + (n1, n2))
     c1, s1 = (jnp.asarray(m) for m in _dft_mats(n1))
@@ -166,7 +190,7 @@ def irfft_permuted(yr: jnp.ndarray, yi: jnp.ndarray, n: int) -> jnp.ndarray:
     Conjugate transforms applied in reverse order, real part only on
     the final stage; same zero-shuffle property.
     """
-    n1, n2 = _split_factor(n)
+    n1, n2 = balanced_factors(n) or _split_factor(n)
     lead = yr.shape[:-2]
     c2, s2 = (jnp.asarray(m) for m in _dft_mats(n2))
     # inverse over k2 (axis -2 is k1; k2 is last) — contract last axis:

@@ -48,7 +48,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from .fft import irfft_permuted, rfft_permuted
+from .fft import balanced_factors, irfft_permuted, rfft_permuted
 from .resample import resample_poly
 
 
@@ -86,7 +86,9 @@ def ist_upscale(x_cs: jnp.ndarray, factor: int, max_iterations: int,
     """
     c, s = x_cs.shape
     n_up = s * factor
-    n_fft = _next_pow2(n_up)
+    # transform exactly n_up when it factors into two <=4096 radices
+    # (mixed-radix matmul FFT) — pow2 padding costs up to ~45% extra
+    n_fft = n_up if balanced_factors(n_up) else _next_pow2(n_up)
 
     y_obs = x_cs.astype(jnp.float32)
 
