@@ -7,10 +7,10 @@ upsampling through the 480x hop (10*8*6) with multi-receptive-field
 (MRF) residual stacks between stages.
 
 TPU-first choices: 1-D convs carried as NWC (XLA's native 1-D conv
-layout), bf16 compute, channel floor of 128 so every conv keeps the
-MXU's 128-lane dimension full (vanilla HiFi-GAN decays to 64/32
-channels, which wastes 3/4 of the systolic array at the most
-sample-expensive stages).
+layout), bf16 compute, channel floor of 64 (vanilla HiFi-GAN decay;
+a 128 floor was tried to keep MXU lanes full but quadruples the
+dominant full-rate stage's FLOPs for only 2x utilization — measured
+net slower).
 """
 from __future__ import annotations
 
@@ -29,7 +29,7 @@ class VocoderConfig:
     upsample_kernels: Sequence[int] = (20, 16, 12)
     resblock_kernels: Sequence[int] = (3, 7, 11)
     resblock_dilations: Sequence[Sequence[int]] = ((1, 3, 5),) * 3
-    channel_floor: int = 128
+    channel_floor: int = 64
     dtype: jnp.dtype = jnp.bfloat16
 
 
