@@ -64,8 +64,11 @@ class Egregora_RNNoise_Denoise:
     @classmethod
     def _params(cls):
         if cls._PARAMS is None:
-            from ..models.rnnoise.model import init_params
-            cls._PARAMS = init_params(0)
+            from ..models.rnnoise.train import load_pretrained
+            cls._PARAMS = load_pretrained()
+            if cls._PARAMS is None:
+                from ..models.rnnoise.model import init_params
+                cls._PARAMS = init_params(0)
         return cls._PARAMS
 
     def execute(self, audio, frame_ms=20, stereo_mode="per_channel", strength=1.0,
