@@ -112,3 +112,25 @@ def test_wola_matches_reference_stitch(rng):
     lengths = np.array([l for _, l in spans], np.int32)
     ours = np.asarray(wola_stitch(preds, starts, lengths, total, win))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_frame_strided_matches_gather(rng):
+    """Gather-free framing (the TPU fast path) == reference framing."""
+    from egregora_tpu.ops.stft import frame_strided
+    for t, nfft, hop in [(48000, 2048, 480), (1000, 256, 128),
+                         (500, 512, 100), (2048, 2048, 480), (100, 2048, 480)]:
+        x = rng.standard_normal((2, t)).astype(np.float32)
+        a = np.asarray(frame(jnp.asarray(x), nfft, hop))
+        b = np.asarray(frame_strided(jnp.asarray(x), nfft, hop))
+        assert a.shape == b.shape, (t, nfft, hop)
+        np.testing.assert_array_equal(a, b, err_msg=str((t, nfft, hop)))
+
+
+def test_fir_same_matches_npconvolve(rng):
+    from egregora_tpu.ops.fir import fir_same
+    for taps in (255, 64, 17):
+        x = rng.standard_normal((2, 5000)).astype(np.float32)
+        h = rng.standard_normal(taps).astype(np.float32)
+        ref = np.stack([np.convolve(x[c], h, mode="same") for c in range(2)])
+        got = np.asarray(fir_same(jnp.asarray(x), h))
+        np.testing.assert_allclose(got, ref, atol=5e-4)
