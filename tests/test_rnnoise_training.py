@@ -1,0 +1,57 @@
+"""RNNoise synthetic-distillation: trainability + shipped weights."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egregora_tpu.models.rnnoise.model import FRAME, denoise_channel, init_params
+from egregora_tpu.models.rnnoise.train import (load_pretrained, loss_fn,
+                                               pretrained_path, synth_batch, train)
+
+
+def test_synth_batch_shapes_and_scaling(rng):
+    noisy, clean, vad = synth_batch(rng, 3, 20)
+    assert noisy.shape == (3, 20 * FRAME) and clean.shape == noisy.shape
+    assert vad.shape == (3, 20)
+    assert np.abs(noisy).max() <= 0.801
+    assert set(np.unique(vad)) <= {0.0, 1.0}
+
+
+def test_loss_decreases_with_training():
+    """A few steps on a fixed batch must descend (end-to-end gradients
+    flow through the scan / OLA / band analysis)."""
+    params = train(steps=8, batch=2, frames=20, lr=3e-3, log_every=0)
+    rng = np.random.default_rng(0)
+    noisy, clean, vad = synth_batch(rng, 2, 20)
+    l_trained = float(loss_fn(params, jnp.asarray(noisy), jnp.asarray(clean),
+                              jnp.asarray(vad)))
+    l_init = float(loss_fn(init_params(0), jnp.asarray(noisy), jnp.asarray(clean),
+                           jnp.asarray(vad)))
+    assert np.isfinite(l_trained)
+    assert l_trained < l_init
+
+
+@pytest.mark.skipif(not pretrained_path().exists(),
+                    reason="no shipped pretrained weights")
+def test_shipped_weights_denoise():
+    """The in-repo distilled weights must actually improve SNR on
+    held-out synthetic mixtures (accounting for the 1-frame delay)."""
+    params = load_pretrained()
+    rng = np.random.default_rng(4242)
+    noisy, clean, _ = synth_batch(rng, 4, 40)
+    out, vad = jax.vmap(lambda x: denoise_channel(params, jnp.asarray(x)))(
+        jnp.asarray(noisy))
+    out = np.asarray(out)
+
+    def snr(ref, sig):
+        err = ref - sig
+        return 10 * np.log10(np.sum(ref ** 2) / (np.sum(err ** 2) + 1e-12))
+
+    before = np.mean([snr(clean[i][FRAME:-FRAME], noisy[i][FRAME:-FRAME])
+                      for i in range(4)])
+    after = np.mean([snr(clean[i][FRAME:-FRAME], out[i][2 * FRAME:])
+                     for i in range(4)])
+    assert after > before + 1.0
+    # VAD must be informative, not saturated
+    v = np.asarray(vad)
+    assert 0.05 < v.mean() < 0.95
