@@ -141,8 +141,12 @@ def _mlp(p, x, prefix=""):
 def enhance_mono(params: Dict, x: jnp.ndarray, post_filter: bool = False) -> jnp.ndarray:
     """Denoise mono 48 kHz ``[T] -> [T]`` (libDF ``enhance`` analog)."""
     t = x.shape[0]
-    n_frames = max(1, t // HOP)
-    xp = jnp.pad(x, (0, n_frames * HOP + N_FFT - t))
+    # fade padding: full window coverage at both edges — without it the
+    # WOLA division by near-zero window sums amplifies any spectral
+    # modification ~50x in the first hop of output
+    lead = N_FFT
+    n_frames = max(1, (t + lead) // HOP + 1)
+    xp = jnp.pad(x, (lead, n_frames * HOP + N_FFT - t - lead))
     win = jnp.asarray(hann_periodic(N_FFT))
     idx = jnp.arange(n_frames)[:, None] * HOP + jnp.arange(N_FFT)[None, :]
     frames = jnp.take(xp, idx, axis=0) * win
@@ -198,8 +202,10 @@ def enhance_mono(params: Dict, x: jnp.ndarray, post_filter: bool = False) -> jnp
     total = (n_frames - 1) * HOP + N_FFT
     acc = jnp.zeros(total).at[pos].add(yfr.reshape(-1))
     wsum = jnp.zeros(total).at[pos].add(jnp.tile(win * win, n_frames))
-    y = acc / jnp.where(wsum > 1e-8, wsum, 1.0)
-    return y[:t].astype(jnp.float32)
+    floor = 1e-3 * jnp.max(wsum)
+    acc = acc * (wsum >= floor)
+    y = acc / jnp.where(wsum >= floor, wsum, 1.0)
+    return y[lead: lead + t].astype(jnp.float32)
 
 
 def enhance(params: Dict, x_cn: jnp.ndarray, cfg: DFNConfig = DFNConfig(),

@@ -1,0 +1,72 @@
+"""Synthetic distillation for the DeepFilterNet-class denoiser.
+
+Same approach as models/rnnoise/train.py: the ERB-gain + deep-filter
+pipeline is differentiable end-to-end, so in a zero-egress environment
+(no upstream DFN checkpoints) we train it on synthetic speech-proxy +
+noise mixtures and ship the weights.  Unlike the RNNoise OLA pipeline,
+the DFN STFT/iSTFT pair reconstructs in place — no frame delay to
+align for.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..rnnoise.train import synth_batch
+from .model import DFNConfig, enhance_mono, init_params
+
+
+def _band_mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    from .model import HOP, N_FFT, erb_filterbank
+    from ...ops.stft import stft_conv
+    fb = jnp.asarray(erb_filterbank())
+    ra, ia = stft_conv(a, N_FFT, HOP)
+    rb, ib = stft_conv(b, N_FFT, HOP)
+    ea = jnp.log10((ra * ra + ia * ia) @ fb + 1e-8)
+    eb = jnp.log10((rb * rb + ib * ib) @ fb + 1e-8)
+    return jnp.mean(jnp.square(ea - eb))
+
+
+def loss_fn(params: Dict, noisy: jnp.ndarray, clean: jnp.ndarray) -> jnp.ndarray:
+    out = jax.vmap(lambda x: enhance_mono(params, x))(noisy)
+    return (_band_mse(out, clean)
+            + 10.0 * jnp.mean(jnp.square(out - clean)))
+
+
+def train(steps: int = 1500, batch: int = 4, frames: int = 50, lr: float = 1e-3,
+          seed: int = 0, log_every: int = 250) -> Dict:
+    params = init_params(seed)
+    tx = optax.adam(optax.cosine_decay_schedule(lr, steps, 0.05))
+    opt = tx.init(params)
+    rng = np.random.default_rng(seed)
+
+    @jax.jit
+    def step(params, opt, noisy, clean):
+        loss, grads = jax.value_and_grad(loss_fn)(params, noisy, clean)
+        upd, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, upd), opt, loss
+
+    for i in range(steps):
+        noisy, clean, _ = synth_batch(rng, batch, frames)
+        params, opt, loss = step(params, opt, jnp.asarray(noisy),
+                                 jnp.asarray(clean))
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            print(f"[dfn-train] step {i}: loss {float(loss):.4f}", flush=True)
+    return params
+
+
+def pretrained_path() -> Path:
+    return Path(__file__).resolve().parent / "pretrained.npz"
+
+
+def load_pretrained() -> Dict | None:
+    p = pretrained_path()
+    if not p.exists():
+        return None
+    from ...utils.weights import load_params
+    return load_params(p)

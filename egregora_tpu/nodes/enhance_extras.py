@@ -189,9 +189,12 @@ class Egregora_DeepFilterNet_Denoise:
     @classmethod
     def _params(cls, model_name: str):
         if model_name not in cls._PARAMS:
-            from ..models.deepfilternet.model import DFNConfig, init_params
-            cls._PARAMS[model_name] = init_params(
-                0, DFNConfig(variant=model_name))
+            from ..models.deepfilternet.train import load_pretrained
+            params = load_pretrained()
+            if params is None:
+                from ..models.deepfilternet.model import DFNConfig, init_params
+                params = init_params(0, DFNConfig(variant=model_name))
+            cls._PARAMS[model_name] = params
         return cls._PARAMS[model_name]
 
     def execute(self, audio, dfn_model="DeepFilterNet2", device="auto",

@@ -55,3 +55,36 @@ def test_shipped_weights_denoise():
     # VAD must be informative, not saturated
     v = np.asarray(vad)
     assert 0.05 < v.mean() < 0.95
+
+
+# ---------------- DFN distillation ----------------
+
+def test_dfn_loss_decreases():
+    from egregora_tpu.models.deepfilternet.train import loss_fn as dfn_loss, train as dfn_train
+    from egregora_tpu.models.deepfilternet.model import init_params as dfn_init
+    params = dfn_train(steps=6, batch=2, frames=20, log_every=0)
+    rng = np.random.default_rng(0)
+    noisy, clean, _ = synth_batch(rng, 2, 20)
+    l_t = float(dfn_loss(params, jnp.asarray(noisy), jnp.asarray(clean)))
+    l_0 = float(dfn_loss(dfn_init(0), jnp.asarray(noisy), jnp.asarray(clean)))
+    assert np.isfinite(l_t) and l_t < l_0
+
+
+def test_dfn_shipped_weights_denoise():
+    from egregora_tpu.models.deepfilternet.train import load_pretrained as dfn_load, pretrained_path as dfn_path
+    from egregora_tpu.models.deepfilternet.model import enhance_mono
+    if not dfn_path().exists():
+        pytest.skip("no shipped DFN weights")
+    params = dfn_load()
+    rng = np.random.default_rng(777)
+    noisy, clean, _ = synth_batch(rng, 3, 40)
+    out = np.asarray(jax.vmap(lambda x: enhance_mono(params, jnp.asarray(x)))(
+        jnp.asarray(noisy)))
+
+    def snr(ref, sig):
+        err = ref - sig
+        return 10 * np.log10(np.sum(ref ** 2) / (np.sum(err ** 2) + 1e-12))
+
+    before = np.mean([snr(clean[i], noisy[i]) for i in range(3)])
+    after = np.mean([snr(clean[i], out[i]) for i in range(3)])
+    assert after > before + 1.0
