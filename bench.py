@@ -37,7 +37,7 @@ def main() -> None:
         arr.block_until_ready()
         return float(np.asarray(arr[0, :4]).sum())
 
-    batch = 16
+    batch = 32
     while batch >= 1:
         try:
             y = fwd(pipe.params, batch_input(batch))
