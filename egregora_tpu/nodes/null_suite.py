@@ -47,7 +47,11 @@ class Audio_Align_XCorr:
             },
             "optional": {
                 "max_shift_ms": ("INT", {"default": 200, "min": 0, "max": 5000, "step": 1}),
-                "align_method": (["gcc-phat"], {}),
+                # "gcc-phat" = reference-exact (includes its 1-sample
+                # center bias); "gcc-phat-fixed" corrects the bias for
+                # deeper nulls (the reference marks this COMBO
+                # "extensible later", null suite :287-288)
+                "align_method": (["gcc-phat", "gcc-phat-fixed"], {}),
                 "fractional": ("BOOLEAN", {"default": True}),
                 "fir_len": ("INT", {"default": 64, "min": 16, "max": 256, "step": 1}),
             },
@@ -67,7 +71,8 @@ class Audio_Align_XCorr:
         a, b = a[:n], b[:n]
 
         max_shift = int(ref["sr"] * (max_shift_ms / 1000.0))
-        lag = xcorr_delay(a, b, max_shift)
+        lag = xcorr_delay(a, b, max_shift,
+                          bias_fix=(align_method == "gcc-phat-fixed"))
         delay_samples = float(lag)
         delay_ms = 1000.0 * delay_samples / ref["sr"]
 
@@ -295,7 +300,7 @@ class Null_Test_Full:
             },
             "optional": {
                 "align_max_shift_ms": ("INT", {"default": 200, "min": 0, "max": 5000, "step": 1}),
-                "align_method": (["gcc-phat"], {}),
+                "align_method": (["gcc-phat", "gcc-phat-fixed"], {}),
                 "fractional": ("BOOLEAN", {"default": True}),
                 "fir_len": ("INT", {"default": 64, "min": 16, "max": 256, "step": 1}),
                 "match_mode": (["LUFS-I", "RMS"], {}),

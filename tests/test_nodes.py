@@ -179,3 +179,21 @@ def test_dfn_node_runs():
     assert out["sample_rate"] == 48000
     assert out["samples"].shape == (1, 9600)
     assert np.all(np.isfinite(out["samples"]))
+
+
+def test_align_node_fixed_method_deeper_null():
+    """'gcc-phat-fixed' recovers integer delays exactly (reference-exact
+    'gcc-phat' keeps the upstream 1-sample bias)."""
+    align = egregora_tpu.NODE_CLASS_MAPPINGS["Audio Align (XCorr)"]()
+    rng = np.random.default_rng(0)
+    x = (0.3 * rng.standard_normal(48000)).astype(np.float32)
+    b = np.zeros_like(x)
+    b[100:] = x[:-100]
+    a_d = comfy_audio(48000, x[None])
+    b_d = comfy_audio(48000, b[None])
+    _, d_ref, *_ = align.execute(a_d, b_d, align_method="gcc-phat",
+                                 fractional=False)
+    _, d_fix, *_ = align.execute(a_d, b_d, align_method="gcc-phat-fixed",
+                                 fractional=False)
+    assert abs(d_ref - 99.0) < 0.5   # reference bias
+    assert abs(d_fix - 100.0) < 0.5  # corrected
