@@ -42,7 +42,18 @@ def num_frames(n: int, n_fft: int, hop: int) -> int:
 
 
 def frame(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
-    """``[..., N] -> [..., frames, n_fft]`` via gather (reference framing)."""
+    """``[..., N] -> [..., frames, n_fft]`` (reference framing semantics).
+
+    Delegates to the gather-free strided decomposition (see
+    ``frame_strided`` below) — arbitrary-index gathers lower scalar-slow
+    on TPU; equality with the index-gather formulation is test-verified
+    across shapes, including the N < n_fft zero-pad case.
+    """
+    return frame_strided(x, n_fft, hop)
+
+
+def _frame_gather(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    """Index-gather framing (kept as the test oracle for frame_strided)."""
     n = x.shape[-1]
     f = num_frames(n, n_fft, hop)
     if n < n_fft:
