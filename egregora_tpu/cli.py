@@ -33,11 +33,11 @@ def _save(path: str, buf) -> None:
 
 
 def cmd_flashsr(args) -> int:
-    from .models.flashsr.pipeline import FlashSRConfig, FlashSRModules, FlashSRPipeline
-    from .utils.weights import ensure_flashsr_weights
+    from .models.flashsr.distill import resolve_flashsr
+    from .models.flashsr.pipeline import FlashSRPipeline
     buf = _load(args.infile)
-    cfg = FlashSRConfig()
-    params = ensure_flashsr_weights(FlashSRModules(cfg))
+    cfg, params, source = resolve_flashsr()
+    print(f"[flashsr] weights: {source}")
     pipe = FlashSRPipeline(cfg, params=params)
     out = pipe.process(buf, lowpass_input=args.lowpass_input,
                        output_sr=args.target_sr)

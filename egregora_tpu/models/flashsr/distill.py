@@ -1,0 +1,274 @@
+"""Synthetic distillation of a compact FlashSR trio — shipped weights.
+
+The reference ships none of its own weights; it downloads three torch
+checkpoints (``egregora_audio_super_resolution.py:282-317``).  This
+environment has zero egress, so — exactly as was done for RNNoise and
+DeepFilterNet — the framework distills a compact trio on synthetic
+music-like LR/HR pairs and ships the result as ``pretrained.npz``, so
+the node measurably improves band-limited audio out of the box.  Real
+converted checkpoints (full config) still take precedence when present
+(``resolve_flashsr``).
+
+TPU-native training design: the *data generator runs on device inside
+the jitted train step* (harmonic additive synthesis + FM vibrato + AM
+envelopes + shaped noise, then a random-cutoff spectral lowpass to make
+the LR side).  The host sends one fold-in integer per step — nothing
+else crosses the relay, which matters when every transfer costs ~50 ms.
+"""
+from __future__ import annotations
+
+import functools
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pipeline import FlashSRConfig
+from .unet import UNetConfig
+from .vae import VAEConfig
+from .vocoder import VocoderConfig
+
+PRETRAINED = Path(__file__).parent / "pretrained.npz"
+SR = 48000
+
+
+def distilled_config() -> FlashSRConfig:
+    """Compact trio (~few M params) used by the shipped distilled
+    weights.  Fully convolutional and attention-free, so weights train
+    at 128 mel frames and run at the pipeline's 512 without
+    extrapolation error; the full-size ``FlashSRConfig()`` remains the
+    layout real converted checkpoints load into."""
+    return FlashSRConfig(
+        vae=VAEConfig(base_channels=24, channel_mults=(1, 2, 4), latent_channels=16,
+                      num_res_blocks=1, groups=8),
+        unet=UNetConfig(in_channels=32, out_channels=16, base_channels=48,
+                        channel_mults=(1, 2), num_res_blocks=1, attn_levels=(),
+                        num_heads=4, time_dim=128, groups=8),
+        vocoder=VocoderConfig(upsample_initial=128, channel_floor=16),
+    )
+
+
+# ---------------------------------------------------------------------------
+# on-device synthetic data
+# ---------------------------------------------------------------------------
+
+_N_HARMONICS = 96
+
+
+def _synth_one(key: jax.Array, length: int, sr: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One (lr, hr) pair, fully on device.
+
+    HR: additive harmonic tone (random f0, spectral rolloff, formant
+    bumps, vibrato FM, AM + note gating) plus shaped noise.  LR: the
+    same signal through a random-cutoff (5–11.5 kHz) spectral lowpass —
+    computed in the frequency domain so the cutoff can be a traced
+    value under jit (a windowed-sinc FIR would need static taps).
+    """
+    ks = jax.random.split(key, 14)
+    t = jnp.arange(length, dtype=jnp.float32) / sr
+
+    f0 = jnp.exp(jax.random.uniform(ks[0], (), minval=jnp.log(70.0),
+                                    maxval=jnp.log(900.0)))
+    n = jnp.arange(1, _N_HARMONICS + 1, dtype=jnp.float32)
+    freq_n = f0 * n
+
+    # per-harmonic amplitude: power rolloff × random formant envelope
+    rolloff = jax.random.uniform(ks[1], (), minval=0.5, maxval=1.8)
+    amps = n ** (-rolloff)
+    cf = jnp.exp(jax.random.uniform(ks[2], (3,), minval=jnp.log(200.0),
+                                    maxval=jnp.log(14000.0)))
+    bw = jax.random.uniform(ks[3], (3,), minval=0.3, maxval=1.0)
+    gn = jax.random.uniform(ks[4], (3,), minval=0.0, maxval=2.0)
+    formant = 1.0 + jnp.sum(
+        gn[:, None] * jnp.exp(-0.5 * (jnp.log(freq_n[None, :] / cf[:, None])
+                                      / bw[:, None]) ** 2), axis=0)
+    amps = amps * formant * (freq_n < 0.98 * sr / 2)
+
+    # vibrato FM: f(t) = f0 (1 + d sin(2π r t))
+    vr = jax.random.uniform(ks[5], (), minval=3.0, maxval=7.0)
+    vd = jax.random.uniform(ks[6], (), minval=0.0, maxval=0.008)
+    base_phase = 2 * jnp.pi * f0 * (t - vd * jnp.cos(2 * jnp.pi * vr * t)
+                                    / (2 * jnp.pi * vr))
+    ph0 = jax.random.uniform(ks[7], (_N_HARMONICS,), maxval=2 * jnp.pi)
+    harm = jnp.sum(amps[:, None] * jnp.sin(n[:, None] * base_phase[None, :]
+                                           + ph0[:, None]), axis=0)
+    harm = harm / (jnp.sqrt(jnp.mean(jnp.square(harm))) + 1e-6)
+
+    # AM: slow beating + sigmoid note gating
+    r1, r2, r3 = jax.random.uniform(ks[8], (3,), minval=0.3, maxval=3.0)
+    p1, p2, p3 = jax.random.uniform(ks[9], (3,), maxval=2 * jnp.pi)
+    am = 0.6 + 0.4 * jnp.sin(2 * jnp.pi * r1 * t + p1) * jnp.sin(2 * jnp.pi * r2 * t + p2)
+    gate = jax.nn.sigmoid(6.0 * jnp.sin(2 * jnp.pi * r3 * t + p3) + 2.0)
+    harm = harm * am * gate
+
+    # shaped noise: white + first-difference (high tilt), random mix-in
+    white = jax.random.normal(ks[10], (length,), jnp.float32)
+    tilt = jax.random.uniform(ks[11], (), minval=0.0, maxval=1.0)
+    noise = (1 - tilt) * white + tilt * jnp.diff(white, prepend=0.0)
+    nr = jax.random.uniform(ks[12], (), minval=0.02, maxval=0.30)
+    x = harm + nr * noise / (jnp.sqrt(jnp.mean(jnp.square(noise))) + 1e-6)
+
+    peak = jax.random.uniform(ks[13], (), minval=0.25, maxval=0.8)
+    hr = x * (peak / (jnp.max(jnp.abs(x)) + 1e-6))
+
+    # LR: spectral lowpass with a traced random cutoff
+    cut = jax.random.uniform(jax.random.fold_in(key, 99), (),
+                             minval=5000.0, maxval=11500.0)
+    spec = jnp.fft.rfft(hr)
+    f = jnp.fft.rfftfreq(length, 1.0 / sr).astype(jnp.float32)
+    mask = jax.nn.sigmoid((cut - f) / 200.0)
+    lr = jnp.fft.irfft(spec * mask, n=length).astype(jnp.float32)
+    return lr, hr
+
+
+def synth_pair_batch(key: jax.Array, batch: int, length: int,
+                     sr: int = SR) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``[B, length]`` (lr, hr) pairs; vmapped device-side generator."""
+    keys = jax.random.split(key, batch)
+    return jax.vmap(lambda k: _synth_one(k, length, sr))(keys)
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+def make_distill_step(modules, tx, batch: int, length: int, sr: int = SR):
+    """Jitted ``step(params, opt_state, key) -> (params, opt_state, loss)``
+    with data synthesis fused into the step (host sends only the key)."""
+    import optax
+
+    from .train import loss_fn
+
+    def step(params, opt_state, key):
+        kd, kn = jax.random.split(key)
+        lr_w, hr_w = synth_pair_batch(kd, batch, length, sr)
+        loss, grads = jax.value_and_grad(
+            functools.partial(loss_fn, modules, hop=480, n_mels=256, n_fft=2048),
+            argnums=0)(params, lr_w, hr_w, kn)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step)
+
+
+def distill(steps: int = 3000, batch: int = 8, frames: int = 128,
+            lr: float = 2e-4, seed: int = 0, out_path: Path = PRETRAINED,
+            log_every: int = 100) -> dict:
+    """Run the distillation and write ``pretrained.npz`` (float16).
+
+    Returns the final metrics dict (also written next to the npz)."""
+    from .pipeline import FlashSRModules
+    from .train import make_optimizer
+
+    length = 480 * frames
+    cfg = distilled_config()
+    modules = FlashSRModules(cfg)
+    params = modules.init_params(seed)
+    tx = make_optimizer(lr)
+    opt_state = tx.init(params)
+    step = make_distill_step(modules, tx, batch, length)
+
+    base = jax.random.PRNGKey(seed + 1)
+    loss0 = None
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state,
+                                       jax.random.fold_in(base, i))
+        if i % log_every == 0 or i == steps - 1:
+            lv = float(loss)   # sync point
+            if loss0 is None:
+                loss0 = lv
+            print(f"[distill] step {i:5d} loss {lv:.4f}", flush=True)
+
+    metrics = evaluate(params, cfg, seed=seed + 7)
+    metrics.update(steps=steps, batch=batch, frames=frames,
+                   loss_first=loss0, loss_last=float(loss))
+    save_pretrained(params, out_path)
+    out_path.with_suffix(".json").write_text(json.dumps(metrics, indent=1))
+    print(f"[distill] saved {out_path} metrics={metrics}", flush=True)
+    return metrics
+
+
+def save_pretrained(params, path: Path = PRETRAINED) -> None:
+    from ...utils.weights import _flatten
+    flat = {k: np.asarray(v, np.float16) for k, v in _flatten(params).items()}
+    np.savez_compressed(path, **flat)
+
+
+def load_pretrained(path: Path = PRETRAINED):
+    """Shipped distilled params (cast back to f32), or None if absent."""
+    if not Path(path).exists():
+        return None
+    from ...utils.weights import _unflatten
+    with np.load(path) as z:
+        return _unflatten({k: z[k].astype(np.float32) for k in z.files})
+
+
+def resolve_flashsr(seed: int = 0):
+    """(config, params, source) for the node/CLI:
+
+    1. the three real reference checkpoints, converted  -> full config
+    2. shipped synthetic-distilled ``pretrained.npz``   -> compact config
+    3. seeded random init (loud warning)                -> full config
+    """
+    from ...utils.weights import (ensure_flashsr_weights, flashsr_ckpt_dir,
+                                  missing_flashsr_files)
+    from .pipeline import FlashSRModules
+
+    if not missing_flashsr_files() or (flashsr_ckpt_dir() / "flashsr_params.npz").exists():
+        cfg = FlashSRConfig()
+        return cfg, ensure_flashsr_weights(FlashSRModules(cfg), seed), "converted"
+    params = load_pretrained()
+    if params is not None:
+        return distilled_config(), params, "distilled"
+    cfg = FlashSRConfig()
+    print("[egregora_tpu] FlashSR: no checkpoints and no shipped distilled "
+          "weights — using seeded random init (output will not be enhanced)")
+    return cfg, FlashSRModules(cfg).init_params(seed), "random"
+
+
+# ---------------------------------------------------------------------------
+# quality gate
+# ---------------------------------------------------------------------------
+
+def evaluate(params, cfg: FlashSRConfig, seed: int = 7, n: int = 4) -> dict:
+    """LSD / SI-SDR of pipeline output vs HR truth on fresh synthetic
+    pairs at the full 5.12 s chunk size, against the LR passthrough
+    baseline (the reference node's own eval contract)."""
+    from ...eval.metrics import lsd_sisdr_report
+    from .pipeline import CHUNK_SAMPLES, FlashSRPipeline
+
+    pipe = FlashSRPipeline(cfg, params=params)
+    lr_w, hr_w = synth_pair_batch(jax.random.PRNGKey(seed), n, CHUNK_SAMPLES)
+    out = pipe._jit_forward(params, lr_w, lowpass_input=False)
+
+    def mean_report(est):
+        reps = [lsd_sisdr_report(hr_w[i], est[i]) for i in range(n)]
+        return (float(np.mean([float(r["lsd_mean_db"]) for r in reps])),
+                float(np.mean([float(r["si_sdr_db"]) for r in reps])))
+
+    lsd_pt, sisdr_pt = mean_report(lr_w)
+    lsd_md, sisdr_md = mean_report(out)
+    return {
+        "lsd_passthrough": lsd_pt, "lsd_model": lsd_md,
+        "sisdr_passthrough": sisdr_pt, "sisdr_model": sisdr_md,
+    }
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Distill compact FlashSR weights")
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    a = ap.parse_args()
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    print("devices:", jax.devices(), flush=True)
+    distill(steps=a.steps, batch=a.batch, frames=a.frames, lr=a.lr, seed=a.seed)

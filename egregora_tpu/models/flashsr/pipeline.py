@@ -157,46 +157,97 @@ class FlashSRPipeline:
     def _jit_forward(self):
         return jax.jit(self.chunk_forward, static_argnames=("lowpass_input",))
 
+    @functools.cached_property
+    def _jit_accumulate(self):
+        from ...ops.wola import wola_accumulate
+        return jax.jit(wola_accumulate)
+
+    def _forward_fn(self, mesh, lowpass_input: bool):
+        """Compiled chunk forward, mesh-sharded when a mesh is given.
+
+        Cached per (mesh, lowpass_input) so repeated ``process`` calls
+        reuse one compilation (the reference rebuilds its runner every
+        run, sr node :393)."""
+        if not hasattr(self, "_fwd_cache"):
+            self._fwd_cache = {}
+        key = (mesh, bool(lowpass_input))
+        fn = self._fwd_cache.get(key)
+        if fn is None:
+            if mesh is None:
+                fn = lambda p, ch: self._jit_forward(p, ch, lowpass_input=lowpass_input)
+            else:
+                from ...parallel.mesh import chunk_parallel
+                fn = chunk_parallel(
+                    lambda p, ch: self.chunk_forward(p, ch, lowpass_input=lowpass_input),
+                    mesh)
+            self._fwd_cache[key] = fn
+        return fn
+
+    @staticmethod
+    def _resolve_mesh(mesh):
+        """'auto' -> a chunk mesh over all devices when >1, else None."""
+        if mesh != "auto":
+            return mesh
+        devs = jax.devices()
+        if len(devs) <= 1:
+            return None
+        from ...parallel.mesh import make_chunk_mesh
+        return make_chunk_mesh(devs)
+
     # ---- full-file processing (node-facing) ----
     def process(self, audio: AudioBuffer, lowpass_input: bool = False,
                 output_sr: int = 48000, pad_to_multiple: int = 1,
-                max_batch: Optional[int] = None) -> AudioBuffer:
+                max_batch: Optional[int] = None, mesh="auto") -> AudioBuffer:
         """The reference node flow (``run``, :388-431) on device.
 
-        ``max_batch`` bounds device memory for long inputs: chunk
-        batches stream through the same compiled program (static batch
-        shape => one compilation) and the Hann-weighted partial sums
-        accumulate on device; None processes everything in one batch.
+        ``mesh``: 'auto' shards the chunk batch over all devices
+        (SURVEY.md §2c — chunks are this domain's sequence axis) when
+        more than one is visible; pass a ``jax.sharding.Mesh`` to pin
+        one, or ``None`` to force single-device.
+
+        ``max_batch`` bounds device memory for long inputs: fixed-shape
+        chunk batches stream through one compiled program and fold into
+        running Hann-weighted sums (O(batch) activations, O(total)
+        accumulators); None processes everything in one batch.
         """
         x = audio.samples
         if audio.sample_rate != REQ_SR:
             x = resample(x, audio.sample_rate, REQ_SR)
         c, total = x.shape
 
+        mesh = self._resolve_mesh(mesh)
+        pad_mult = int(np.lcm(max(pad_to_multiple, 1), mesh.size)) if mesh else pad_to_multiple
         chunks, starts, lengths = chunk_batch(x, CHUNK_SAMPLES, HOP_SAMPLES,
-                                              pad_to_multiple=pad_to_multiple)
+                                              pad_to_multiple=pad_mult)
         k = chunks.shape[0]
+        fwd = self._forward_fn(mesh, lowpass_input)
 
         if max_batch is None or k <= max_batch:
             flat = chunks.reshape(k * c, CHUNK_SAMPLES)  # channels ride the batch
-            preds = self._jit_forward(self.params, flat,
-                                      lowpass_input=lowpass_input)
-            preds = preds.reshape(k, c, CHUNK_SAMPLES)
+            preds = fwd(self.params, flat).reshape(k, c, CHUNK_SAMPLES)
             out = wola_stitch(preds, starts, lengths, total, CHUNK_SAMPLES)
         else:
-            # streaming: fixed-shape batches through one compiled program
+            # streaming: fixed-shape batches through one compiled program,
+            # folded into running weighted sums (never O(total) activations)
             b = int(max_batch)
-            preds_parts = []
+            if mesh:
+                b = -(-b // mesh.size) * mesh.size
+            acc = jnp.zeros((c, total), jnp.float32)
+            wsum = jnp.zeros((total,), jnp.float32)
             for s0 in range(0, k, b):
                 batch = chunks[s0: s0 + b]
-                if batch.shape[0] < b:   # pad tail batch to the static shape
-                    batch = jnp.pad(batch, ((0, b - batch.shape[0]), (0, 0), (0, 0)))
+                n_valid = batch.shape[0]
+                if n_valid < b:   # pad tail batch to the static shape
+                    batch = jnp.pad(batch, ((0, b - n_valid), (0, 0), (0, 0)))
                 flat = batch.reshape(b * c, CHUNK_SAMPLES)
-                pred = self._jit_forward(self.params, flat,
-                                         lowpass_input=lowpass_input)
-                preds_parts.append(pred.reshape(b, c, CHUNK_SAMPLES)[: min(b, k - s0)])
-            preds = jnp.concatenate(preds_parts, axis=0)
-            out = wola_stitch(preds, starts, lengths, total, CHUNK_SAMPLES)
+                pred = fwd(self.params, flat).reshape(b, c, CHUNK_SAMPLES)
+                st = np.zeros(b, np.int32)
+                ln = np.zeros(b, np.int32)   # padded rows: zero stitch weight
+                st[:n_valid] = starts[s0: s0 + b]
+                ln[:n_valid] = lengths[s0: s0 + b]
+                acc, wsum = self._jit_accumulate(pred, st, ln, acc, wsum)
+            from ...ops.wola import wola_finalize
+            out = wola_finalize(acc, wsum)
 
         if int(output_sr) != REQ_SR:
             out = resample(out, REQ_SR, int(output_sr))

@@ -62,24 +62,51 @@ def load_checkpoint(path, opt_state_template):
 
 
 def loss_fn(modules: FlashSRModules, params: dict, lr_wave: jnp.ndarray,
-            hr_wave: jnp.ndarray, hop: int, n_mels: int) -> jnp.ndarray:
+            hr_wave: jnp.ndarray, rng: jax.Array, hop: int, n_mels: int,
+            n_fft: int = 0) -> jnp.ndarray:
+    """Distillation loss with FRESH noise each step (``rng``): the student
+    must map any noise draw to the target latent, so inference is free to
+    use its own deterministic seed (pipeline ``noise_seed``).
+
+    ``n_fft`` must match the inference front-end (mel.N_FFT=2048 at the
+    real hop of 480); 0 picks 4*hop, fine for tiny-config dryruns."""
+    n_fft = n_fft or 4 * hop
     frames = lr_wave.shape[-1] // hop
-    mel_lr = log_mel(lr_wave, n_fft=4 * hop, hop=hop, n_mels=n_mels)[:, :frames]
-    mel_hr = log_mel(hr_wave, n_fft=4 * hop, hop=hop, n_mels=n_mels)[:, :frames]
+    mel_lr = log_mel(lr_wave, n_fft=n_fft, hop=hop, n_mels=n_mels)[:, :frames]
+    mel_hr = log_mel(hr_wave, n_fft=n_fft, hop=hop, n_mels=n_mels)[:, :frames]
 
     z_lr = modules.vae.apply(params["vae"], mel_lr[..., None], method=MelVAE.encode)
     z_tgt = modules.vae.apply(params["vae"], mel_hr[..., None], method=MelVAE.encode)
-    noise = jax.random.normal(jax.random.PRNGKey(0), z_lr.shape, jnp.float32)
+    noise = jax.random.normal(rng, z_lr.shape, jnp.float32)
     z_in = jnp.concatenate([noise, z_lr], axis=-1)
     t = jnp.ones((z_in.shape[0],), jnp.float32)
     z_pred = modules.unet.apply(params["student_ldm"], z_in, t)
     latent_l2 = jnp.mean(jnp.square(z_pred - z_tgt))
 
+    # VAE must also be a good autoencoder of the HR mel (it is trained
+    # jointly from scratch here, unlike the reference's frozen VAE)
+    mel_ae = modules.vae.apply(params["vae"], mel_hr[..., None])[..., 0]
+    ae_l2 = jnp.mean(jnp.square(mel_ae - mel_hr))
+
     mel_dec = modules.vae.apply(params["vae"], z_pred, method=MelVAE.decode)[..., 0]
-    wav = modules.vocoder.apply(params["sr_vocoder"], mel_dec)[:, : hr_wave.shape[-1]]
-    mel_out = log_mel(wav, n_fft=4 * hop, hop=hop, n_mels=n_mels)[:, :frames]
+    mel_dec_l2 = jnp.mean(jnp.square(mel_dec - mel_hr))
+
+    # vocoder learns from the CLEAN mel (stable target) and the decoded
+    # one; spectral losses at two resolutions constrain the waveform
+    wav = modules.vocoder.apply(params["sr_vocoder"], mel_hr)[:, : hr_wave.shape[-1]]
+    mel_out = log_mel(wav, n_fft=n_fft, hop=hop, n_mels=n_mels)[:, :frames]
     mel_l2 = jnp.mean(jnp.square(mel_out - mel_hr))
-    return latent_l2 + mel_l2
+    stft_l2 = _stft_logmag_l2(wav, hr_wave, n_fft=min(1024, n_fft), hop=max(hop // 4, 16))
+    return latent_l2 + ae_l2 + mel_dec_l2 + mel_l2 + 0.5 * stft_l2
+
+
+def _stft_logmag_l2(x: jnp.ndarray, y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+    from ...ops.stft import stft_conv
+    rx, ix = stft_conv(x, n_fft, hop, window="hann_periodic")
+    ry, iy = stft_conv(y, n_fft, hop, window="hann_periodic")
+    lx = 0.5 * jnp.log(rx * rx + ix * ix + 1e-8)
+    ly = 0.5 * jnp.log(ry * ry + iy * iy + 1e-8)
+    return jnp.mean(jnp.square(lx - ly))
 
 
 def make_train_step(modules: FlashSRModules, tx: optax.GradientTransformation,
@@ -87,10 +114,10 @@ def make_train_step(modules: FlashSRModules, tx: optax.GradientTransformation,
     """Returns jitted ``step(params, opt_state, lr_wave, hr_wave)`` with
     batch sharded over the mesh's 'chunk' axis and state replicated."""
 
-    def step(params, opt_state, lr_wave, hr_wave):
+    def step(params, opt_state, lr_wave, hr_wave, rng):
         loss, grads = jax.value_and_grad(
             functools.partial(loss_fn, modules, hop=hop, n_mels=n_mels),
-            argnums=0)(params, lr_wave, hr_wave)
+            argnums=0)(params, lr_wave, hr_wave, rng)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -98,5 +125,5 @@ def make_train_step(modules: FlashSRModules, tx: optax.GradientTransformation,
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("chunk"))
     return jax.jit(step,
-                   in_shardings=(repl, repl, data, data),
+                   in_shardings=(repl, repl, data, data, repl),
                    out_shardings=(repl, repl, repl))

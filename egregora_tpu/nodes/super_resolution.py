@@ -41,11 +41,11 @@ class EgregoraAudioSuperResolution:
     @classmethod
     def _pipeline(cls) -> FlashSRPipeline:
         if cls._PIPE is None:
-            from ..utils.weights import ensure_flashsr_weights
-            from ..models.flashsr.pipeline import FlashSRModules
-            cfg = FlashSRConfig()
-            params = ensure_flashsr_weights(FlashSRModules(cfg))
-            cls._PIPE = FlashSRPipeline(cfg, params=params)
+            from ..models.flashsr.distill import resolve_flashsr
+            cfg, params, source = resolve_flashsr()
+            pipe = FlashSRPipeline(cfg, params=params)
+            pipe.weight_source = source   # converted | distilled | random
+            cls._PIPE = pipe
         return cls._PIPE
 
     def run(self, audio=None, lowpass_input=False, output_sr="48000"):

@@ -73,16 +73,18 @@ def chunk_batch(x_cs: jnp.ndarray, win: int, hop: int,
     return chunks.astype(jnp.float32), starts, lengths
 
 
-def wola_stitch(preds: jnp.ndarray, starts: jnp.ndarray, lengths: jnp.ndarray,
-                total_len: int, win: int) -> jnp.ndarray:
-    """Hann-weighted overlap-add of ``[K, C, win]`` chunk outputs -> ``[C, total]``.
+def wola_accumulate(preds: jnp.ndarray, starts: jnp.ndarray, lengths: jnp.ndarray,
+                    acc: jnp.ndarray, wsum: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter-add one chunk batch's Hann-weighted contributions into a
+    running ``(acc [C, total], wsum [total])`` pair.
 
-    Only the valid (unpadded) first ``lengths[k]`` samples of each chunk
-    contribute, each weighted by the first ``lengths[k]`` taps of a
-    symmetric Hann(win); weight sums of zero are guarded to 1 — the
-    exact semantics of the reference ``_wola_stitch`` (sr node :227-251).
+    This is the O(batch)-memory streaming primitive: long inputs fold
+    batch after batch into the same two accumulators instead of
+    concatenating every prediction.  Jittable (static shapes: batch,
+    win, total); ``wola_stitch`` is the one-shot wrapper.
     """
-    k, c, w = preds.shape
+    k, c, win = preds.shape
+    total_len = acc.shape[-1]
     starts = jnp.asarray(starts, dtype=jnp.int32)
     lengths = jnp.asarray(lengths, dtype=jnp.int32)
     hann = jnp.asarray(hann_symmetric(win))
@@ -97,9 +99,28 @@ def wola_stitch(preds: jnp.ndarray, starts: jnp.ndarray, lengths: jnp.ndarray,
     flat_pos = pos.reshape(-1)
     weighted = (preds * wgt[:, None, :]).swapaxes(0, 1).reshape(c, -1)  # [C, K*win]
 
-    acc = jnp.zeros((c, total_len), preds.dtype).at[:, flat_pos].add(
-        weighted, mode="drop")
-    wsum = jnp.zeros((total_len,), wgt.dtype).at[flat_pos].add(
-        wgt.reshape(-1), mode="drop")
+    acc = acc.at[:, flat_pos].add(weighted, mode="drop")
+    wsum = wsum.at[flat_pos].add(wgt.reshape(-1), mode="drop")
+    return acc, wsum
+
+
+def wola_finalize(acc: jnp.ndarray, wsum: jnp.ndarray) -> jnp.ndarray:
+    """Normalize accumulated sums; zero weight guards to 1 (sr node :247-250)."""
     wsum = jnp.where(wsum == 0.0, 1.0, wsum)
     return (acc / wsum[None, :]).astype(jnp.float32)
+
+
+def wola_stitch(preds: jnp.ndarray, starts: jnp.ndarray, lengths: jnp.ndarray,
+                total_len: int, win: int) -> jnp.ndarray:
+    """Hann-weighted overlap-add of ``[K, C, win]`` chunk outputs -> ``[C, total]``.
+
+    Only the valid (unpadded) first ``lengths[k]`` samples of each chunk
+    contribute, each weighted by the first ``lengths[k]`` taps of a
+    symmetric Hann(win); weight sums of zero are guarded to 1 — the
+    exact semantics of the reference ``_wola_stitch`` (sr node :227-251).
+    """
+    k, c, w = preds.shape
+    acc = jnp.zeros((c, total_len), preds.dtype)
+    wsum = jnp.zeros((total_len,), jnp.float32)
+    acc, wsum = wola_accumulate(preds, starts, lengths, acc, wsum)
+    return wola_finalize(acc, wsum)

@@ -1,0 +1,69 @@
+"""Shipped distilled FlashSR weights: quality gate + weight resolution.
+
+The BASELINE.json north star is quality parity ("SI-SDR/LSD parity vs
+the reference pipeline") — the reference node's eval contract is that
+running it on band-limited audio measurably improves LSD against the
+fullband truth (``egregora_audio_super_resolution.py:372-431`` feeding
+the eval pack's metrics).  These tests hold the shipped weights to it.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from egregora_tpu.models.flashsr.distill import (PRETRAINED, distilled_config,
+                                                 load_pretrained, resolve_flashsr,
+                                                 synth_pair_batch)
+from egregora_tpu.models.flashsr.pipeline import CHUNK_SAMPLES, FlashSRPipeline
+
+
+needs_weights = pytest.mark.skipif(not PRETRAINED.exists(),
+                                   reason="no shipped distilled weights")
+
+
+def test_synth_pair_is_bandlimited():
+    lr, hr = jax.jit(lambda k: synth_pair_batch(k, 2, 480 * 32))(
+        jax.random.PRNGKey(0))
+    lr, hr = np.asarray(lr), np.asarray(hr)
+    assert np.isfinite(lr).all() and np.isfinite(hr).all()
+    f = np.fft.rfftfreq(lr.shape[-1], 1 / 48000)
+    hi = f > 13000
+    e_lr = (np.abs(np.fft.rfft(lr[0]))[hi] ** 2).sum()
+    e_hr = (np.abs(np.fft.rfft(hr[0]))[hi] ** 2).sum()
+    assert e_lr < 1e-6 * e_hr        # LR hi-band removed
+    assert e_hr > 0                  # HR has hi-band content
+
+
+@needs_weights
+def test_distilled_weights_improve_lsd():
+    """The flagship quality gate: on a held-out synthetic pair, the
+    model output's LSD to the fullband truth must beat the band-limited
+    passthrough by a wide margin, without giving up much SI-SDR."""
+    from egregora_tpu.eval.metrics import lsd_sisdr_report
+
+    cfg = distilled_config()
+    params = load_pretrained()
+    pipe = FlashSRPipeline(cfg, params=params)
+    lr, hr = synth_pair_batch(jax.random.PRNGKey(123), 1, CHUNK_SAMPLES)
+    out = pipe._jit_forward(params, lr, lowpass_input=False)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+    rep_pt = lsd_sisdr_report(hr[0], lr[0])
+    rep_md = lsd_sisdr_report(hr[0], out[0])
+    lsd_pt, lsd_md = float(rep_pt["lsd_mean_db"]), float(rep_md["lsd_mean_db"])
+    sisdr_pt, sisdr_md = float(rep_pt["si_sdr_db"]), float(rep_md["si_sdr_db"])
+    assert lsd_md < lsd_pt - 20.0, (lsd_md, lsd_pt)
+    # phase-blind high band costs a little SI-SDR; low band is preserved
+    assert sisdr_md > sisdr_pt - 4.0, (sisdr_md, sisdr_pt)
+
+
+@needs_weights
+def test_resolve_flashsr_prefers_distilled(tmp_path, monkeypatch):
+    """With no converted checkpoints on disk the resolver must pick the
+    shipped distilled weights, not a random init."""
+    monkeypatch.setenv("EGREGORA_TPU_WEIGHTS", str(tmp_path))
+    cfg, params, source = resolve_flashsr()
+    assert source == "distilled"
+    assert cfg.unet.base_channels == distilled_config().unet.base_channels
+    n = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+    assert n < 10_000_000            # compact trio, not the full config

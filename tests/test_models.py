@@ -199,12 +199,29 @@ def test_chunk_parallel_matches_single_device(tiny_pipe):
 
 
 def test_flashsr_streaming_matches_oneshot(tiny_pipe):
-    """max_batch streaming must be bit-identical to one-shot processing
-    (noise latent is batch-position invariant)."""
+    """max_batch streaming (running weighted-sum accumulators) must match
+    one-shot processing (noise latent is batch-position invariant)."""
     from egregora_tpu.core.audio import AudioBuffer
     x = np.random.default_rng(5).standard_normal(
         (1, CHUNK_SAMPLES + 3 * HOP_SAMPLES)).astype(np.float32) * 0.1
     buf = AudioBuffer(jnp.asarray(x), 48000, {})
-    a = tiny_pipe.process(buf)
-    b = tiny_pipe.process(buf, max_batch=2)
-    np.testing.assert_array_equal(np.asarray(a.samples), np.asarray(b.samples))
+    a = tiny_pipe.process(buf, mesh=None)
+    b = tiny_pipe.process(buf, max_batch=2, mesh=None)
+    np.testing.assert_allclose(np.asarray(a.samples), np.asarray(b.samples),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_flashsr_process_mesh_matches_single(tiny_pipe):
+    """process() with the chunk batch sharded over the 8-virtual-device
+    mesh (the default when >1 device is visible) must match the forced
+    single-device path — the production analog of
+    test_chunk_parallel_matches_single_device."""
+    from egregora_tpu.core.audio import AudioBuffer
+    x = np.random.default_rng(6).standard_normal(
+        (1, CHUNK_SAMPLES + 2 * HOP_SAMPLES)).astype(np.float32) * 0.1
+    buf = AudioBuffer(jnp.asarray(x), 48000, {})
+    a = tiny_pipe.process(buf, mesh=None)
+    b = tiny_pipe.process(buf)           # auto -> 8-device mesh
+    assert len(jax.devices()) == 8
+    np.testing.assert_allclose(np.asarray(a.samples), np.asarray(b.samples),
+                               atol=2e-2, rtol=1e-2)

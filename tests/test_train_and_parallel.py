@@ -48,8 +48,9 @@ def test_train_step_decreases_loss(tiny_setup):
     lr_w = jnp.asarray(rng.standard_normal((batch, hop * 16)), jnp.float32) * 0.1
     hr_w = jnp.asarray(rng.standard_normal((batch, hop * 16)), jnp.float32) * 0.1
     losses = []
-    for _ in range(4):
-        params, opt_state, loss = step(params, opt_state, lr_w, hr_w)
+    for i in range(4):
+        params, opt_state, loss = step(params, opt_state, lr_w, hr_w,
+                                       jax.random.PRNGKey(5))
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]  # optimizing the same batch must descend
