@@ -3,27 +3,37 @@
 The reference drives the xiph RNNoise C library through ``pyrnnoise``
 (``egregora_audio_enhance_extras.py:134-169``): 48 kHz, 10 ms / 480-
 sample frames, per-frame (vad_prob, denoised_frame) pairs.  This module
-reimplements that contract natively:
+reimplements that contract natively, with the REAL RNNoise analysis
+pipeline (denoise.c / pitch.c semantics) so the published xiph weight
+tables are layout- and feature-compatible:
 
+* input DC-blocking biquad (denoise.c ``b_hp``/``a_hp``), run once over
+  the whole channel as a blocked parallel scan (ops/iir.biquad).
 * analysis: 960-sample Vorbis-windowed FFT over (prev, current) frame
-  pairs, 50% overlap-add synthesis — RNNoise's framing.
-* features (42, RNNoise's layout): 22 Bark-band cepstra (BFCC via
-  DCT-II of log band energies on the canonical ``eband5ms`` band
-  table), 6 first- and 6 second-order temporal deltas of the low
-  cepstra, 6 pitch-correlation cepstra, pitch period, and a spectral
-  non-stationarity scalar.
+  pairs at PCM (±32768) scale with kiss-FFT's forward 1/N norm, 50%
+  overlap-add synthesis.
+* pitch: 1728-sample rolling buffer, 2x decimation, normalized
+  cross-correlation over ALL lags 60..768 as one FFT correlation
+  (TPU-native replacement for opus's staged coarse/fine search),
+  sub-multiple (doubling) rejection with previous-period continuity,
+  pitch-delayed spectrum P, per-band pitch correlation Exp.
+* features (42, denoise.c layout): 22 BFCC of max-followed log band
+  energies (f0-=12, f1-=4; first 6 replaced by the 3-frame cepstral
+  sum), 6 first + 6 second deltas, 6 DCT coeffs of Exp (-1.3/-0.9
+  offsets), 0.01*(pitch_index-300), cepstral spec-variability - 2.1.
 * network (RNNoise topology): dense(24, tanh) -> VAD GRU(24) ->
   noise GRU(48) -> denoise GRU(96) -> dense(22, sigmoid) band gains +
   dense(1, sigmoid) VAD probability.
-* synthesis: band gains interpolated across FFT bins, applied,
-  inverse FFT, overlap-add.
+* pitch comb filter (denoise.c ``pitch_filter``): per-band ratio r from
+  (Exp, gains), X += interp(r)·P, band-energy renormalization — then
+  gain floor ``g = max(g, 0.6·lastg)`` and triangular bin interpolation.
+* silence gate: total band energy < 0.04 skips the RNN/filtering and
+  freezes the recurrent state (denoise.c compute_frame_features).
 
-The frame recurrence (GRU state + overlap buffer + cepstral history)
-is a single ``lax.scan``; channels batch via ``vmap``.  Weights are a
-param pytree: seeded random by default, mappable from the public
-RNNoise weight tables via utils/weights.convert_state_dict when
-provided.  The C library's pitch comb-filter pre-enhancement is not
-yet implemented (gains + VAD are; noted for a later round).
+The frame recurrence (GRU state + overlap buffer + pitch buffer +
+cepstral history) is a single ``lax.scan``; channels batch via
+``vmap``.  Weights are a param pytree: synthetic-distilled by default,
+mappable from the public RNNoise tables via ``convert_rnnoise_tables``.
 """
 from __future__ import annotations
 
@@ -42,6 +52,13 @@ FREQ = WINDOW // 2 + 1  # 481 bins at 50 Hz
 NB_BANDS = 22
 NB_FEATURES = 42
 NB_DELTA = 6
+CEPS_MEM = 8
+PITCH_MIN = 60
+PITCH_MAX = 768
+PITCH_FRAME = 960
+PITCH_BUF = PITCH_MAX + PITCH_FRAME        # 1728
+PCM_SCALE = 32768.0                         # C operates on short-range floats
+SILENCE_E = 0.04                            # denoise.c silence threshold
 
 # RNNoise eband5ms band edges, in units of 4 50-Hz bins (=200 Hz):
 EBAND5MS = np.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 20, 24,
@@ -51,31 +68,52 @@ BAND_BIN = EBAND5MS * 4   # bin index of each band center
 
 @functools.lru_cache(maxsize=1)
 def _vorbis_window() -> np.ndarray:
-    n = np.arange(WINDOW)
-    s = np.sin(0.5 * np.pi * (n + 0.5) / WINDOW)
-    return np.sin(0.5 * np.pi * s * s).astype(np.float32)
+    """960-tap window: denoise.c's ``half_window`` (argument over
+    FRAME_SIZE, not WINDOW_SIZE) applied to both halves mirrored —
+    satisfies the Princen-Bradley condition for 50% OLA."""
+    i = np.arange(FRAME)
+    s = np.sin(0.5 * np.pi * (i + 0.5) / FRAME)
+    half = np.sin(0.5 * np.pi * s * s)
+    return np.concatenate([half, half[::-1]]).astype(np.float32)
 
 
 @functools.lru_cache(maxsize=1)
-def _band_matrix() -> np.ndarray:
-    """``[FREQ, NB_BANDS]`` triangular interpolation weights (RNNoise's
-    compute_band_energy structure)."""
+def _band_matrix_energy() -> np.ndarray:
+    """``[FREQ, NB_BANDS]`` triangular weights of compute_band_energy /
+    compute_band_corr, INCLUDING the first/last band doubling the C code
+    applies after accumulation."""
     m = np.zeros((FREQ, NB_BANDS), dtype=np.float32)
     for b in range(NB_BANDS - 1):
         lo, hi = BAND_BIN[b], BAND_BIN[b + 1]
         size = hi - lo
         for j in range(size):
             frac = j / size
-            if lo + j < FREQ:
-                m[lo + j, b] += 1.0 - frac
-                m[lo + j, b + 1] += frac
-    m[0, 0] *= 2  # DC emphasis as in the C code's band accumulation
+            m[lo + j, b] += 1.0 - frac
+            m[lo + j, b + 1] += frac
+    m[:, 0] *= 2
+    m[:, NB_BANDS - 1] *= 2
+    return m
+
+
+@functools.lru_cache(maxsize=1)
+def _band_matrix_interp() -> np.ndarray:
+    """``[FREQ, NB_BANDS]`` gain interpolation weights (interp_band_gain):
+    plain triangles, NO edge doubling; bins above eband5ms[21]*4=400
+    (20 kHz) get zero gain, as in the C code."""
+    m = np.zeros((FREQ, NB_BANDS), dtype=np.float32)
+    for b in range(NB_BANDS - 1):
+        lo, hi = BAND_BIN[b], BAND_BIN[b + 1]
+        size = hi - lo
+        for j in range(size):
+            frac = j / size
+            m[lo + j, b] += 1.0 - frac
+            m[lo + j, b + 1] += frac
     return m
 
 
 @functools.lru_cache(maxsize=1)
 def _dct_matrix() -> np.ndarray:
-    """Orthonormal DCT-II ``[NB_BANDS, NB_BANDS]``."""
+    """Orthonormal DCT-II ``[NB_BANDS, NB_BANDS]`` (denoise.c ``dct``)."""
     n = NB_BANDS
     m = np.zeros((n, n), dtype=np.float32)
     for k in range(n):
@@ -129,7 +167,6 @@ def _gru_init(key, in_dim: int, units: int) -> Dict:
 
 def _gru_step(p: Dict, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     """Standard GRU cell (RNNoise/Keras gate order: z, r, n)."""
-    units = h.shape[-1]
     xw = x @ p["kernel"] + p["bias"]
     hw = h @ p["recurrent"]
     xz, xr, xn = jnp.split(xw, 3, axis=-1)
@@ -140,97 +177,296 @@ def _gru_step(p: Dict, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return z * h + (1.0 - z) * n
 
 
-def _pitch_correlation_cepstrum(spec: jnp.ndarray, prev_spec: jnp.ndarray
-                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Cheap pitch surrogate: normalized cross-band coherence between the
-    current and previous frame spectra, per band, plus a scalar 'period'
-    proxy from the autocorrelation argmax of band energies."""
-    bm = jnp.asarray(_band_matrix())
-    num = (spec * jnp.conj(prev_spec)).real @ bm
-    den = jnp.sqrt(((jnp.abs(spec) ** 2) @ bm) *
-                   ((jnp.abs(prev_spec) ** 2) @ bm) + 1e-10)
-    corr = num / den
+# ---------------------------------------------------------------------------
+# pitch analysis (pitch.c semantics, vectorized)
+# ---------------------------------------------------------------------------
+
+_DS_LEN = PITCH_BUF // 2          # 864 samples @24 kHz
+_DS_TGT = PITCH_FRAME // 2        # 480-sample correlation target
+_DS_MAX = PITCH_MAX // 2          # 384
+_DS_MIN = PITCH_MIN // 2          # 30
+_XC_FFT = 2048                    # pow2 linear-correlation FFT length
+
+
+def _pitch_search(pitch_buf: jnp.ndarray, prev_period: jnp.ndarray,
+                  prev_gain: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(pitch_index @48k in [PITCH_MIN, PITCH_MAX], pitch gain in [0,1]).
+
+    TPU-native redesign of opus pitch_search + remove_doubling: instead
+    of a staged coarse/fine search with data-dependent branches, compute
+    the NORMALIZED cross-correlation against the newest 480 downsampled
+    samples for EVERY lag at once (one pow2 FFT correlation + a cumsum
+    for the sliding energies), then reject period-doubling by accepting
+    the shortest sub-multiple whose correlation clears an opus-style
+    threshold, with a continuity bonus near the previous frame's period.
+    """
+    # 2x decimation with a [1/4, 1/2, 1/4] smoother (pitch_downsample's
+    # core; the adaptive FIR whitener is omitted — it sharpens peaks but
+    # does not move them)
+    b = pitch_buf
+    # ds[i] = .5 b[2i] + .25 (b[2i-1] + b[2i+1]); b[-1] ~ b[0]
+    ds = 0.5 * b[::2] + 0.25 * (jnp.concatenate([b[:1], b[1:-2:2]])
+                                + b[1::2])                      # [864]
+
+    tgt = ds[-_DS_TGT:]                                          # newest 480
+    # linear correlation c[i] = sum_j ds[i+j] * tgt[j], i in [0, 384]
+    fb = jnp.fft.rfft(ds, n=_XC_FFT)
+    ft = jnp.fft.rfft(tgt, n=_XC_FFT)
+    c = jnp.fft.irfft(fb * jnp.conj(ft), n=_XC_FFT)[: _DS_MAX + 1]
+
+    e_tgt = jnp.sum(tgt * tgt)
+    cs = jnp.cumsum(jnp.concatenate([jnp.zeros(1), ds * ds]))
+    e_lag = cs[_DS_TGT: _DS_TGT + _DS_MAX + 1] - cs[: _DS_MAX + 1]
+    corr_all = c / jnp.sqrt(e_tgt * e_lag + 1e-4)                # [385]
+
+    # corr for lag tau (period) lives at index (864-480) - tau = 384-tau
+    lag = jnp.arange(_DS_MAX + 1)
+    tau = _DS_MAX - lag                                          # period at idx
+    valid = (tau >= _DS_MIN) & (tau <= _DS_MAX)
+    corr = jnp.where(valid, corr_all, -1.0)
+
+    i0 = jnp.argmax(corr)
+    t0 = _DS_MAX - i0                                            # best period
+    g0 = corr[i0]
+
+    # doubling rejection: candidates T0/k, smallest accepted period wins
+    ks = jnp.arange(1, 9)
+    cand = jnp.clip(jnp.round(t0 / ks).astype(jnp.int32), _DS_MIN, _DS_MAX)
+    gc = corr[_DS_MAX - cand]
+    near_prev = jnp.abs(2.0 * cand - prev_period) < jnp.maximum(
+        0.2 * prev_period, 10.0)
+    thresh = 0.77 * g0 - 0.15 * prev_gain * near_prev
+    ok = (gc > thresh) & (gc > 0.0)
+    ok = ok.at[0].set(True)                                      # k=1 fallback
+    best = jnp.max(jnp.where(ok, jnp.arange(8), 0))
+    t = cand[best]
+    gain = jnp.clip(gc[best], 0.0, 1.0)
+    return (2 * t).astype(jnp.float32), gain
+
+
+# ---------------------------------------------------------------------------
+# per-frame features (compute_frame_features semantics)
+# ---------------------------------------------------------------------------
+
+def _log_band_follow(bande: jnp.ndarray) -> jnp.ndarray:
+    """``Ly``: log10 band energies with denoise.c's max-follower chain
+    (22 sequential band updates, unrolled — static, trivial)."""
+    ly = []
+    log_max = jnp.float32(-2.0)
+    follow = jnp.float32(-2.0)
+    for i in range(NB_BANDS):
+        v = jnp.log10(1e-2 + bande[i])
+        v = jnp.maximum(log_max - 7.0, jnp.maximum(follow - 1.5, v))
+        log_max = jnp.maximum(log_max, v)
+        follow = jnp.maximum(follow - 1.5, v)
+        ly.append(v)
+    return jnp.stack(ly)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def denoise_channel_full(params: Dict, x: jnp.ndarray):
+    """Full per-frame pipeline: ``x [T]`` -> (denoised [T], vad [F],
+    rnn band gains [F, 22], analysis band energies [F, 22]).  The gains
+    and energies feed the oracle-gain distillation loss (the xiph
+    training formulation); node callers use ``denoise_channel``.
+    """
+    from ...ops.iir import biquad
+
+    n_frames = x.shape[0] // FRAME
+    # C-scale and DC-block once over the whole channel (exact equivalent
+    # of the per-frame biquad with carried state: causal LTI).
+    xs = biquad(x[: n_frames * FRAME] * PCM_SCALE,
+                b=(-1.99599, 0.99600), a=(-1.98989, 0.98990))
+    frames = xs.reshape(n_frames, FRAME)
+    win = jnp.asarray(_vorbis_window())
+    bm_e = jnp.asarray(_band_matrix_energy())
+    bm_i = jnp.asarray(_band_matrix_interp())
     dct = jnp.asarray(_dct_matrix())
-    return corr @ dct, jnp.mean(corr)
+    cfg = RNNoiseConfig()
 
+    def step(carry, cur):
+        (prev_frame, pitch_buf, cep_mem, ola,
+         h_vad, h_noise, h_den, lastg, prev_period, prev_gain) = carry
 
-def frame_features(spec: jnp.ndarray, prev_spec: jnp.ndarray,
-                   cep_hist: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """42-dim feature vector + updated cepstral history ``[3, 22]``."""
-    bm = jnp.asarray(_band_matrix())
-    dct = jnp.asarray(_dct_matrix())
-    bande = (jnp.abs(spec) ** 2) @ bm                      # [22]
-    log_e = jnp.log10(bande + 1e-2)
-    bfcc = log_e @ dct
+        # ---- analysis ----
+        buf = jnp.concatenate([prev_frame, cur]) * win
+        spec = jnp.fft.rfft(buf) / WINDOW              # kiss forward 1/N
+        sqmag = lambda z: z.real * z.real + z.imag * z.imag  # abs² sans abs'(0)=nan
+        ex = sqmag(spec) @ bm_e                        # [22]
+        e_total = jnp.sum(ex)
+        silence = e_total < SILENCE_E
 
-    c0, c1, c2 = cep_hist[0], cep_hist[1], cep_hist[2]
-    d1 = (bfcc - c1)[:NB_DELTA]
-    d2 = (bfcc - 2 * c1 + c2)[:NB_DELTA]
-    pitch_cep, pitch_period = _pitch_correlation_cepstrum(spec, prev_spec)
-    # spectral non-stationarity
-    spec_var = jnp.mean(jnp.square(log_e - jnp.log10(
-        (jnp.abs(prev_spec) ** 2) @ bm + 1e-2)))
+        # ---- pitch ----
+        pitch_buf = jnp.concatenate([pitch_buf[FRAME:], cur])
+        period, pgain = _pitch_search(pitch_buf, prev_period, prev_gain)
+        start = (PITCH_BUF - WINDOW) - period.astype(jnp.int32)
+        p_wave = jax.lax.dynamic_slice(pitch_buf, (start,), (WINDOW,)) * win
+        p_spec = jnp.fft.rfft(p_wave) / WINDOW
+        ep = sqmag(p_spec) @ bm_e
+        exp_num = (spec.real * p_spec.real + spec.imag * p_spec.imag) @ bm_e
+        exp = exp_num / jnp.sqrt(1e-3 + ex * ep)       # [22] band pitch corr
 
-    feats = jnp.concatenate([
-        bfcc,                      # 22
-        d1, d2,                    # 12
-        pitch_cep[:NB_DELTA],      # 6
-        pitch_period[None],        # 1
-        spec_var[None],            # 1
-    ])
-    new_hist = jnp.stack([bfcc, c0, c1])
-    return feats, new_hist
+        # ---- features (denoise.c layout) ----
+        ly = _log_band_follow(ex)
+        bfcc = ly @ dct
+        bfcc = bfcc.at[0].add(-12.0).at[1].add(-4.0)
+        ceps_1, ceps_2 = cep_mem[0], cep_mem[1]
+        f_head = bfcc.at[:NB_DELTA].set(
+            bfcc[:NB_DELTA] + ceps_1[:NB_DELTA] + ceps_2[:NB_DELTA])
+        d1 = (bfcc - ceps_2)[:NB_DELTA]
+        d2 = (bfcc - 2 * ceps_1 + ceps_2)[:NB_DELTA]
+        pitch_cep = (exp @ dct)[:NB_DELTA]
+        pitch_cep = pitch_cep.at[0].add(-1.3).at[1].add(-0.9)
+        new_mem = jnp.concatenate([bfcc[None], cep_mem[:-1]], axis=0)
+        # spectral variability over the (updated) 8-frame history
+        dists = jnp.sum((new_mem[:, None, :] - new_mem[None, :, :]) ** 2, axis=-1)
+        dists = dists + jnp.eye(CEPS_MEM) * 1e15
+        spec_var = jnp.sum(jnp.min(dists, axis=1)) / CEPS_MEM - 2.1
+
+        feats = jnp.concatenate([
+            f_head,                # 22 (first 6 = 3-frame cepstral sum)
+            d1, d2,                # 12
+            pitch_cep,             # 6
+            (0.01 * (period - 300.0))[None],
+            spec_var[None],
+        ])
+        feats = jnp.where(silence, jnp.zeros_like(feats), feats)
+
+        # ---- RNN ----
+        dense = jnp.tanh(feats @ params["input_dense"]["kernel"]
+                         + params["input_dense"]["bias"])
+        h_vad_n = _gru_step(params["vad_gru"], h_vad, dense)
+        vad = jax.nn.sigmoid(h_vad_n @ params["vad_output"]["kernel"]
+                             + params["vad_output"]["bias"])[0]
+        noise_in = jnp.concatenate([dense, h_vad_n, feats])
+        h_noise_n = _gru_step(params["noise_gru"], h_noise, noise_in)
+        den_in = jnp.concatenate([h_vad_n, h_noise_n, feats])
+        h_den_n = _gru_step(params["denoise_gru"], h_den, den_in)
+        gains = jax.nn.sigmoid(h_den_n @ params["denoise_output"]["kernel"]
+                               + params["denoise_output"]["bias"])  # [22]
+
+        # ---- pitch comb filter (denoise.c pitch_filter) ----
+        # epsilons INSIDE the sqrts: sqrt'(0)=inf otherwise poisons the
+        # distillation gradients (inf * where-mask-0 = NaN)
+        g2 = gains * gains
+        exp2 = exp * exp
+        r = jnp.where(exp > gains, 1.0,
+                      exp2 * (1.0 - g2) / (1e-3 + g2 * (1.0 - exp2)))
+        r = jnp.sqrt(jnp.clip(r, 0.0, 1.0) + 1e-9) * jnp.sqrt(
+            (ex + 1e-9) / (1e-8 + ep))
+        rf = bm_i @ r
+        spec_f = spec + rf * p_spec
+        new_e = sqmag(spec_f) @ bm_e
+        norm = jnp.sqrt((ex + 1e-9) / (1e-8 + new_e))
+        spec_f = spec_f * (bm_i @ norm)
+
+        # ---- gains (with 0.6 floor memory) + synthesis ----
+        gains_s = jnp.maximum(gains, 0.6 * lastg)
+        spec_out = spec_f * (bm_i @ gains_s)
+        # silence: pass the frame through untouched, freeze the state
+        spec_out = jnp.where(silence, spec, spec_out)
+        y = jnp.fft.irfft(spec_out * WINDOW, n=WINDOW) * win
+        out = ola + y[:FRAME]
+        new_ola = y[FRAME:]
+
+        sel = lambda new, old: jnp.where(silence, old, new)
+        carry = (cur, pitch_buf, sel(new_mem, cep_mem), new_ola,
+                 sel(h_vad_n, h_vad), sel(h_noise_n, h_noise),
+                 sel(h_den_n, h_den), sel(gains_s, lastg),
+                 sel(period, prev_period), sel(pgain, prev_gain))
+        return carry, (out, jnp.where(silence, 0.0, vad), gains, ex)
+
+    carry0 = (
+        jnp.zeros(FRAME), jnp.zeros(PITCH_BUF),
+        jnp.zeros((CEPS_MEM, NB_BANDS)), jnp.zeros(FRAME),
+        jnp.zeros(cfg.vad_gru), jnp.zeros(cfg.noise_gru),
+        jnp.zeros(cfg.denoise_gru), jnp.zeros(NB_BANDS),
+        jnp.float32(300.0), jnp.float32(0.0),
+    )
+    _, (outs, vads, gains, ex) = jax.lax.scan(step, carry0, frames)
+    return outs.reshape(-1)[: x.shape[0]] / PCM_SCALE, vads, gains, ex
 
 
 @functools.partial(jax.jit, static_argnames=())
 def denoise_channel(params: Dict, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Denoise a mono 48 kHz signal.
+    """Denoise a mono 48 kHz float(±1) signal.
 
     ``x [T]`` (T padded to a FRAME multiple by the caller) ->
     ``(denoised [T], vad_probs [T // FRAME])`` — the contract of
     pyrnnoise's ``denoise_chunk`` (reference :144-169).
     """
-    n_frames = x.shape[0] // FRAME
-    frames = x[: n_frames * FRAME].reshape(n_frames, FRAME)
-    win = jnp.asarray(_vorbis_window())
-    bm = jnp.asarray(_band_matrix())
-    cfg = RNNoiseConfig()
-
-    def step(carry, cur):
-        prev_frame, prev_spec, cep_hist, ola, h_vad, h_noise, h_den = carry
-        buf = jnp.concatenate([prev_frame, cur]) * win
-        spec = jnp.fft.rfft(buf)
-
-        feats, cep_hist = frame_features(spec, prev_spec, cep_hist)
-        dense = jnp.tanh(feats @ params["input_dense"]["kernel"]
-                         + params["input_dense"]["bias"])
-        h_vad = _gru_step(params["vad_gru"], h_vad, dense)
-        vad = jax.nn.sigmoid(h_vad @ params["vad_output"]["kernel"]
-                             + params["vad_output"]["bias"])[0]
-        noise_in = jnp.concatenate([dense, h_vad, feats])
-        h_noise = _gru_step(params["noise_gru"], h_noise, noise_in)
-        den_in = jnp.concatenate([h_vad, h_noise, feats])
-        h_den = _gru_step(params["denoise_gru"], h_den, den_in)
-        gains = jax.nn.sigmoid(h_den @ params["denoise_output"]["kernel"]
-                               + params["denoise_output"]["bias"])  # [22]
-
-        bin_gains = bm @ gains                      # interpolate to bins
-        out_spec = spec * bin_gains
-        y = jnp.fft.irfft(out_spec, n=WINDOW) * win  # synthesis window
-        out = ola + y[:FRAME]
-        new_ola = y[FRAME:]
-        return (cur, spec, cep_hist, new_ola, h_vad, h_noise, h_den), (out, vad)
-
-    carry0 = (
-        jnp.zeros(FRAME), jnp.zeros(FREQ, jnp.complex64),
-        jnp.zeros((3, NB_BANDS)), jnp.zeros(FRAME),
-        jnp.zeros(cfg.vad_gru), jnp.zeros(cfg.noise_gru),
-        jnp.zeros(cfg.denoise_gru),
-    )
-    _, (outs, vads) = jax.lax.scan(step, carry0, frames)
-    return outs.reshape(-1)[: x.shape[0]], vads
+    out, vads, _, _ = denoise_channel_full(params, x)
+    return out, vads
 
 
 def denoise(params: Dict, x_cn: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Multi-channel denoise: ``[C, T] -> ([C, T], [C, frames])``."""
     return jax.vmap(lambda ch: denoise_channel(params, ch))(x_cn)
+
+
+def band_energies(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-frame analysis band energies ``[T] -> [frames, 22]`` through
+    the SAME front end (biquad, PCM scale, Vorbis window, 1/N fft) —
+    the oracle-gain trainer's view of a clean target."""
+    from ...ops.iir import biquad as _biquad
+
+    n_frames = x.shape[0] // FRAME
+    xs = _biquad(x[: n_frames * FRAME] * PCM_SCALE,
+                 b=(-1.99599, 0.99600), a=(-1.98989, 0.98990))
+    frames = xs.reshape(n_frames, FRAME)
+    prev = jnp.concatenate([jnp.zeros((1, FRAME)), frames[:-1]], axis=0)
+    buf = jnp.concatenate([prev, frames], axis=-1) * jnp.asarray(_vorbis_window())
+    spec = jnp.fft.rfft(buf, axis=-1) / WINDOW
+    return (spec.real ** 2 + spec.imag ** 2) @ jnp.asarray(_band_matrix_energy())
+
+
+# ---------------------------------------------------------------------------
+# xiph weight table conversion
+# ---------------------------------------------------------------------------
+
+_TABLE_LAYOUT = {
+    # C model field -> (flax path, (rows, cols) in the C convention)
+    "input_dense_weights": ("input_dense/kernel", (NB_FEATURES, 24)),
+    "input_dense_bias": ("input_dense/bias", (24,)),
+    "vad_gru_weights": ("vad_gru/kernel", (24, 72)),
+    "vad_gru_recurrent_weights": ("vad_gru/recurrent", (24, 72)),
+    "vad_gru_bias": ("vad_gru/bias", (72,)),
+    "noise_gru_weights": ("noise_gru/kernel", (90, 144)),
+    "noise_gru_recurrent_weights": ("noise_gru/recurrent", (48, 144)),
+    "noise_gru_bias": ("noise_gru/bias", (144,)),
+    "denoise_gru_weights": ("denoise_gru/kernel", (114, 288)),
+    "denoise_gru_recurrent_weights": ("denoise_gru/recurrent", (96, 288)),
+    "denoise_gru_bias": ("denoise_gru/bias", (288,)),
+    "denoise_output_weights": ("denoise_output/kernel", (96, NB_BANDS)),
+    "denoise_output_bias": ("denoise_output/bias", (NB_BANDS,)),
+    "vad_output_weights": ("vad_output/kernel", (24, 1)),
+    "vad_output_bias": ("vad_output/bias", (1,)),
+}
+
+
+def convert_rnnoise_tables(tables: Dict[str, np.ndarray]) -> Dict:
+    """Map the xiph RNNoise weight tables (rnnoise_data.c arrays, named
+    by model field; int8-quantized tables should already be dequantized
+    by /256 as the C inference does) onto this module's param tree.
+
+    Fails loudly on any missing field or shape mismatch — the reference
+    fail-loud policy for partial checkpoints.
+    """
+    out: Dict = {}
+    missing = [k for k in _TABLE_LAYOUT if k not in tables]
+    if missing:
+        raise ValueError(f"convert_rnnoise_tables: missing fields {missing}")
+    for name, (path, shape) in _TABLE_LAYOUT.items():
+        v = np.asarray(tables[name], np.float32)
+        if v.shape != shape:
+            if v.T.shape == shape:        # C stores [out, in] row-major
+                v = v.T
+            else:
+                raise ValueError(
+                    f"{name}: shape {v.shape}, want {shape} (or transpose)")
+        node = out
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return out

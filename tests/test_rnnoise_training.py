@@ -35,10 +35,14 @@ def test_loss_decreases_with_training():
                     reason="no shipped pretrained weights")
 def test_shipped_weights_denoise():
     """The in-repo distilled weights must actually improve SNR on
-    held-out synthetic mixtures (accounting for the 1-frame delay)."""
+    held-out synthetic mixtures, against the biquad-filtered clean (the
+    C pipeline's own target — its output keeps the DC filter's
+    coloration) and accounting for the 1-frame delay."""
+    from egregora_tpu.models.rnnoise.train import filtered_target
     params = load_pretrained()
     rng = np.random.default_rng(4242)
     noisy, clean, _ = synth_batch(rng, 4, 40)
+    clean = np.asarray(filtered_target(jnp.asarray(clean)))
     out, vad = jax.vmap(lambda x: denoise_channel(params, jnp.asarray(x)))(
         jnp.asarray(noisy))
     out = np.asarray(out)
