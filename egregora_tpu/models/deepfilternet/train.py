@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..rnnoise.train import synth_batch
+from ..rnnoise.train import synth_batch, synth_batch_device
 from .model import DFNConfig, enhance_mono, init_params
 
 
@@ -36,6 +36,30 @@ def loss_fn(params: Dict, noisy: jnp.ndarray, clean: jnp.ndarray) -> jnp.ndarray
     out = jax.vmap(lambda x: enhance_mono(params, x))(noisy)
     return (_band_mse(out, clean)
             + 10.0 * jnp.mean(jnp.square(out - clean)))
+
+
+
+def train_device(steps: int = 1500, batch: int = 4, frames: int = 50,
+                 lr: float = 1e-3, seed: int = 0, log_every: int = 100) -> Dict:
+    """Distill on the default backend (TPU) with on-device data synth."""
+    params = init_params(seed)
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adam(optax.cosine_decay_schedule(lr, steps, 0.05)))
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, key):
+        noisy, clean, _ = synth_batch_device(key, batch, frames)
+        loss, grads = jax.value_and_grad(loss_fn)(params, noisy, clean)
+        upd, opt = tx.update(grads, opt)
+        return optax.apply_updates(params, upd), opt, loss
+
+    base = jax.random.PRNGKey(seed + 1)
+    for i in range(steps):
+        params, opt, loss = step(params, opt, jax.random.fold_in(base, i))
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            print(f"[dfn-train] step {i}: loss {float(loss):.4f}", flush=True)
+    return params
 
 
 def train(steps: int = 1500, batch: int = 4, frames: int = 50, lr: float = 1e-3,
@@ -70,3 +94,21 @@ def load_pretrained() -> Dict | None:
         return None
     from ...utils.weights import load_params
     return load_params(p)
+
+
+if __name__ == "__main__":
+    import argparse
+    import jax as _jax
+
+    ap = argparse.ArgumentParser(description="Distill DFN2 shipped weights")
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--cpu", action="store_true")
+    a = ap.parse_args()
+    if a.cpu:
+        _jax.config.update("jax_platforms", "cpu")
+    print("devices:", _jax.devices(), flush=True)
+    params = train_device(steps=a.steps, batch=a.batch)
+    from ...utils.weights import save_params
+    save_params(params, pretrained_path())
+    print(f"saved {pretrained_path()}")
