@@ -112,3 +112,69 @@ class MelVAE(nn.Module):
 
     def __call__(self, mel_img):
         return self.decode(self.encode(mel_img))
+
+
+def audioldm_vae_name_map(cfg: VAEConfig = VAEConfig()):
+    """AudioLDM/Stable-Diffusion AutoencoderKL naming (``encoder.down.*``
+    / ``decoder.up.*``, the layout FlashSR's ``vae.pth`` descends from)
+    -> MelVAE tree paths.
+
+    Covers the layers this architecture shares (conv_in, per-level res
+    blocks with nin_shortcut, down/upsample convs, norm_out, conv_out);
+    upstream-only extras (mid attention) are dropped by the converter.
+    Note the SD decoder indexing quirk: ``up.{u}`` lists levels in
+    REVERSE application order, so u = L-1-i for our i-th applied level.
+    """
+    L = len(cfg.channel_mults)
+    R = cfg.num_res_blocks
+    m = {}
+
+    def res_block(prefix_t, path_f, has_shortcut):
+        m[f"{prefix_t}.norm1.weight"] = f"{path_f}/GroupNorm_0/scale"
+        m[f"{prefix_t}.norm1.bias"] = f"{path_f}/GroupNorm_0/bias"
+        m[f"{prefix_t}.conv1.weight"] = f"{path_f}/Conv_0/kernel"
+        m[f"{prefix_t}.conv1.bias"] = f"{path_f}/Conv_0/bias"
+        m[f"{prefix_t}.norm2.weight"] = f"{path_f}/GroupNorm_1/scale"
+        m[f"{prefix_t}.norm2.bias"] = f"{path_f}/GroupNorm_1/bias"
+        m[f"{prefix_t}.conv2.weight"] = f"{path_f}/Conv_1/kernel"
+        m[f"{prefix_t}.conv2.bias"] = f"{path_f}/Conv_1/bias"
+        if has_shortcut:
+            m[f"{prefix_t}.nin_shortcut.weight"] = f"{path_f}/Conv_2/kernel"
+            m[f"{prefix_t}.nin_shortcut.bias"] = f"{path_f}/Conv_2/bias"
+
+    # encoder
+    m["encoder.conv_in.weight"] = "params/encoder/Conv_0/kernel"
+    m["encoder.conv_in.bias"] = "params/encoder/Conv_0/bias"
+    for i in range(L):
+        ch_in = cfg.channel_mults[i - 1] if i else 1
+        for j in range(R):
+            shortcut = (j == 0 and cfg.channel_mults[i] != ch_in)
+            res_block(f"encoder.down.{i}.block.{j}",
+                      f"params/encoder/ResBlock_{i * R + j}", shortcut)
+        if i < L - 1:
+            m[f"encoder.down.{i}.downsample.conv.weight"] = f"params/encoder/Conv_{i + 1}/kernel"
+            m[f"encoder.down.{i}.downsample.conv.bias"] = f"params/encoder/Conv_{i + 1}/bias"
+    m["encoder.norm_out.weight"] = "params/encoder/GroupNorm_0/scale"
+    m["encoder.norm_out.bias"] = "params/encoder/GroupNorm_0/bias"
+    m["encoder.conv_out.weight"] = f"params/encoder/Conv_{L}/kernel"
+    m["encoder.conv_out.bias"] = f"params/encoder/Conv_{L}/bias"
+
+    # decoder (applied mults are reversed; upstream up.{u}: u = L-1-i)
+    mults = tuple(reversed(cfg.channel_mults))
+    m["decoder.conv_in.weight"] = "params/decoder/Conv_0/kernel"
+    m["decoder.conv_in.bias"] = "params/decoder/Conv_0/bias"
+    for i in range(L):
+        u = L - 1 - i
+        ch_in = mults[i - 1] if i else mults[0]
+        for j in range(R):
+            shortcut = (j == 0 and mults[i] != ch_in)
+            res_block(f"decoder.up.{u}.block.{j}",
+                      f"params/decoder/ResBlock_{i * R + j}", shortcut)
+        if i < L - 1:
+            m[f"decoder.up.{u}.upsample.conv.weight"] = f"params/decoder/Conv_{i + 1}/kernel"
+            m[f"decoder.up.{u}.upsample.conv.bias"] = f"params/decoder/Conv_{i + 1}/bias"
+    m["decoder.norm_out.weight"] = "params/decoder/GroupNorm_0/scale"
+    m["decoder.norm_out.bias"] = "params/decoder/GroupNorm_0/bias"
+    m["decoder.conv_out.weight"] = f"params/decoder/Conv_{L}/kernel"
+    m["decoder.conv_out.bias"] = f"params/decoder/Conv_{L}/bias"
+    return m.get

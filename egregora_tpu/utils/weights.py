@@ -94,22 +94,50 @@ def load_params(path: Path) -> Any:
         return _unflatten({k: z[k] for k in z.files})
 
 
+def fold_weight_norm(torch_sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Merge torch ``weight_norm`` pairs: ``X.weight_g * X.weight_v /
+    ||X.weight_v||`` -> ``X.weight`` (norm over all dims but 0, torch's
+    default dim=0 convention).  HiFi-GAN and DAC checkpoints ship
+    weight-normalized; folding happens before name mapping."""
+    out = {}
+    for k, v in torch_sd.items():
+        if k.endswith(".weight_v"):
+            base = k[: -len(".weight_v")]
+            g = torch_sd.get(base + ".weight_g")
+            if g is None:
+                out[k] = v
+                continue
+            axes = tuple(range(1, v.ndim))
+            norm = np.sqrt(np.sum(np.square(v), axis=axes, keepdims=True)) + 1e-12
+            out[base + ".weight"] = np.asarray(g) * v / norm
+        elif k.endswith(".weight_g") and k[: -len(".weight_g")] + ".weight_v" in torch_sd:
+            continue
+        else:
+            out[k] = v
+    return out
+
+
 def convert_state_dict(torch_sd: Dict[str, np.ndarray], target_tree: Any,
                        name_map: Optional[Callable[[str], Optional[str]]] = None,
                        transpose_linear: bool = True) -> Any:
     """Map a torch state dict onto a Flax param tree.
 
-    ``name_map`` maps a torch key to the '/'-joined flax path (return
-    None to drop).  With no map, keys are matched by normalized name
+    ``name_map`` maps a torch key to the '/'-joined flax path — or to a
+    ``(path, perm)`` tuple for layouts the shape heuristics can't
+    disambiguate (e.g. ConvTranspose's ``[in, out, k]``); return None
+    to drop.  With no map, keys are matched by normalized name
     (dots->slashes, ``weight``->``kernel``, ``bias`` kept) and then by
     shape.  torch Linear kernels are ``[out, in]`` and convs
     ``[out, in, *k]``; flax wants ``[in, out]`` / ``[*k, in, out]`` —
-    transposed automatically when shapes say so.
+    transposed automatically when shapes say so; torch ConvTranspose
+    ``[in, out, *k] -> [*k, in, out]`` is tried as a fallback.
+    ``weight_norm`` pairs are folded first (``fold_weight_norm``).
 
     Raises ``ValueError`` listing unmatched target leaves, so a partial
     checkpoint can't silently half-load (the reference's fail-loud
     policy for missing weights, sr node :338-344).
     """
+    torch_sd = fold_weight_norm(torch_sd)
     flat_target = _flatten(target_tree)
     remaining = dict(flat_target)
     out: Dict[str, np.ndarray] = {}
@@ -123,22 +151,29 @@ def convert_state_dict(torch_sd: Dict[str, np.ndarray], target_tree: Any,
         fk = name_map(tk) if name_map else None
         if name_map and fk is None:
             continue
+        perm_override = None
+        if isinstance(fk, tuple):
+            fk, perm_override = fk
         if fk is None:
             cand = norm(tk)
             fk = next((k for k in remaining if k.endswith(cand)), None)
         if fk is None or fk not in remaining:
             continue
-        want = remaining[fk].shape
+        want = tuple(remaining[fk].shape)
         v = tv
-        if v.shape != tuple(want) and transpose_linear:
-            if v.ndim == 2 and v.T.shape == tuple(want):
-                v = v.T
-            elif v.ndim >= 3:
-                # torch conv [O, I, *k] -> flax [*k, I, O]
-                perm = tuple(range(2, v.ndim)) + (1, 0)
-                if np.transpose(v, perm).shape == tuple(want):
-                    v = np.transpose(v, perm)
-        if v.shape == tuple(want):
+        if v.shape != want:
+            if perm_override is not None:
+                v = np.transpose(v, perm_override)
+            elif transpose_linear:
+                if v.ndim == 2 and v.T.shape == want:
+                    v = v.T
+                elif v.ndim >= 3:
+                    for perm in (tuple(range(2, v.ndim)) + (1, 0),   # Conv
+                                 tuple(range(2, v.ndim)) + (0, 1)):  # ConvT
+                        if np.transpose(v, perm).shape == want:
+                            v = np.transpose(v, perm)
+                            break
+        if v.shape == want:
             out[fk] = v
             del remaining[fk]
 

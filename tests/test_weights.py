@@ -83,3 +83,130 @@ def test_fast_init_like_scales():
     p2 = fast_init_like(shapes, seed=3)
     np.testing.assert_array_equal(np.asarray(p2["encoder"]["dense"]["kernel"]),
                                   np.asarray(p["encoder"]["dense"]["kernel"]))
+
+
+# ---------------- realistic upstream layouts (VERDICT r1 #6) ----------------
+
+def _synthetic_torch_sd(name_map_dict, flat_target, rng, weight_norm=False):
+    """Build a torch-layout state dict for every (torch key -> flax path)
+    entry, inverting the converter's transposes, optionally wrapped as
+    weight_norm (weight_g/weight_v) pairs."""
+    sd = {}
+    for tk, fk in name_map_dict.items():
+        perm = None
+        if isinstance(fk, tuple):
+            fk, perm = fk
+        shape = tuple(flat_target[fk].shape)
+        w = rng.standard_normal(shape).astype(np.float32)
+        if perm is not None:                      # flax -> torch inverse perm
+            inv = np.argsort(perm)
+            t = np.transpose(w, inv)
+        elif len(shape) == 2 and tk.endswith("weight"):
+            t = w.T
+        elif len(shape) >= 3 and tk.endswith("weight"):
+            inv = np.argsort(tuple(range(2, len(shape))) + (1, 0))
+            t = np.transpose(w, inv)
+        else:
+            t = w
+        if weight_norm and tk.endswith("weight") and t.ndim >= 2:
+            axes = tuple(range(1, t.ndim))
+            g = np.sqrt(np.sum(t ** 2, axis=axes, keepdims=True)) + 1e-12
+            sd[tk[:-len("weight")] + "weight_v"] = 3.0 * t
+            sd[tk[:-len("weight")] + "weight_g"] = g
+        else:
+            sd[tk] = t
+    return sd
+
+
+def test_hifigan_checkpoint_layout_loads():
+    """A weight-normalized state dict in the upstream HiFi-GAN layout
+    (conv_pre / ups.N / resblocks.N.convsX.D / conv_post) fully loads
+    into the SRVocoder tree through the documented name map."""
+    import jax as _jax
+    import jax.numpy as _jnp
+    from egregora_tpu.models.flashsr.vocoder import (SRVocoder, VocoderConfig,
+                                                     hifigan_name_map)
+    from egregora_tpu.utils.weights import _flatten
+
+    cfg = VocoderConfig(n_mels=16, upsample_initial=16,
+                        upsample_factors=(4, 4), upsample_kernels=(8, 8),
+                        channel_floor=8)
+    voc = SRVocoder(cfg)
+    target = voc.init(_jax.random.PRNGKey(0), _jnp.zeros((1, 8, 16)))
+    flat = _flatten(target)
+
+    # rebuild the raw dict behind the .get-style map
+    nm = hifigan_name_map(cfg)
+    raw = {k: nm(k) for k in [
+        "conv_pre.weight", "conv_pre.bias", "conv_post.weight", "conv_post.bias"]
+        + [f"ups.{i}.{s}" for i in range(2) for s in ("weight", "bias")]
+        + [f"resblocks.{idx}.convs{c}.{d}.{s}" for idx in range(6)
+           for c in (1, 2) for d in range(3) for s in ("weight", "bias")]}
+    rng = np.random.default_rng(7)
+    sd = _synthetic_torch_sd(raw, flat, rng, weight_norm=True)
+    sd["extra.discriminator.weight"] = np.zeros((4, 4), np.float32)  # dropped
+
+    out = convert_state_dict(sd, target, name_map=nm)
+    got = {k: np.asarray(v) for k, v in _flatten(out).items()}
+    assert set(got) == set(flat)
+    # ConvTranspose orientation: torch [in, out, k] -> flax [k, in, out]
+    t = sd.get("ups.0.weight_v")
+    g = sd["ups.0.weight_g"]
+    folded = g * t / (np.sqrt(np.sum(t ** 2, axis=(1, 2), keepdims=True)) + 1e-12)
+    np.testing.assert_allclose(got["params/ConvTranspose_0/kernel"],
+                               np.transpose(folded, (2, 0, 1)), rtol=1e-5)
+
+
+def test_audioldm_vae_checkpoint_layout_loads():
+    """encoder.down.* / decoder.up.* (SD AutoencoderKL naming, reversed
+    decoder indexing) fully loads into the MelVAE tree."""
+    import jax as _jax
+    import jax.numpy as _jnp
+    from egregora_tpu.models.flashsr.vae import (MelVAE, VAEConfig,
+                                                 audioldm_vae_name_map)
+    from egregora_tpu.utils.weights import _flatten
+
+    cfg = VAEConfig(base_channels=8, channel_mults=(1, 2, 4), latent_channels=4,
+                    num_res_blocks=1, groups=4)
+    vae = MelVAE(cfg)
+    target = vae.init(_jax.random.PRNGKey(0), _jnp.zeros((1, 16, 32, 1)))
+    flat = _flatten(target)
+
+    nm = audioldm_vae_name_map(cfg)
+    raw = nm.__self__   # the underlying dict behind dict.get
+    assert set(raw.values()) == set(flat), (
+        sorted(set(flat) - set(raw.values()))[:5],
+        sorted(set(raw.values()) - set(flat))[:5])
+    rng = np.random.default_rng(8)
+    sd = _synthetic_torch_sd(raw, flat, rng)
+    sd["encoder.mid.attn_1.q.weight"] = np.zeros((8, 8, 1, 1), np.float32)  # dropped
+
+    out = convert_state_dict(sd, target, name_map=nm)
+    got = {k: np.asarray(v) for k, v in _flatten(out).items()}
+    assert set(got) == set(flat)
+    np.testing.assert_array_equal(
+        got["params/encoder/ResBlock_0/GroupNorm_0/scale"],
+        sd["encoder.down.0.block.0.norm1.weight"])
+
+
+def test_dfn2_checkpoint_layout_loads():
+    """DFN2-style torch names (enc.erb_convN / emb_gru.gru_i / df_dec)
+    load into the DFN param tree through DF_NAME_MAP."""
+    from egregora_tpu.models.deepfilternet.model import (DF_NAME_MAP, DFNConfig,
+                                                         grouped_gru_name_map,
+                                                         init_params)
+    from egregora_tpu.utils.weights import _flatten
+
+    cfg = DFNConfig()
+    target = init_params(0, cfg)
+    flat = _flatten(target)
+    raw = dict(DF_NAME_MAP)
+    raw.update(grouped_gru_name_map(cfg.gru_groups))
+    assert set(raw.values()) == set(flat), (
+        sorted(set(flat) - set(raw.values()))[:5],
+        sorted(set(raw.values()) - set(flat))[:5])
+    rng = np.random.default_rng(9)
+    sd = _synthetic_torch_sd(raw, flat, rng)
+    out = convert_state_dict(sd, target, name_map=raw.get)
+    got = {k: np.asarray(v) for k, v in _flatten(out).items()}
+    assert set(got) == set(flat)
