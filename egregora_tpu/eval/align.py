@@ -27,18 +27,10 @@ def _next_pow2(n: int) -> int:
     return m
 
 
-@functools.partial(jax.jit, static_argnames=("max_shift", "bias_fix"))
-def xcorr_delay(a: jnp.ndarray, b: jnp.ndarray, max_shift: int,
-                bias_fix: bool = False) -> jnp.ndarray:
-    """GCC-PHAT coarse delay + parabolic refine; >0 means b lags a.
-
-    ``a``/``b`` are mono, equal length (the node truncates).  ``max_shift``
-    is static.  Mirrors reference :213-237 bit-for-bit, INCLUDING its
-    rearrangement bias: ``concat(cc[-(n//2-1):], cc[:n//2+1])`` places lag
-    L at index ``L + n//2 - 1`` but the reference reads the center as
-    ``n//2``, so reported delays are one sample low.  ``bias_fix=True``
-    corrects that (+1); default False for exact reference parity.
-    """
+def _gcc_phat(a: jnp.ndarray, b: jnp.ndarray, max_shift: int,
+              bias_fix: bool):
+    """Shared GCC-PHAT core: (refined delay, windowed correlation
+    surface ``[2*max_shift+1]`` centered on lag 0)."""
     n = _next_pow2(a.shape[0] + b.shape[0])
     fa = jnp.fft.rfft(a, n=n)
     fb = jnp.fft.rfft(b, n=n)
@@ -62,7 +54,54 @@ def xcorr_delay(a: jnp.ndarray, b: jnp.ndarray, max_shift: int,
                      (y0 - y2) / jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom),
                      0.0)
     d = (idx - center).astype(jnp.float32) + frac.astype(jnp.float32)
-    return d + 1.0 if bias_fix else d
+    return (d + 1.0 if bias_fix else d), w
+
+
+@functools.partial(jax.jit, static_argnames=("max_shift", "bias_fix"))
+def xcorr_delay(a: jnp.ndarray, b: jnp.ndarray, max_shift: int,
+                bias_fix: bool = False) -> jnp.ndarray:
+    """GCC-PHAT coarse delay + parabolic refine; >0 means b lags a.
+
+    ``a``/``b`` are mono, equal length (the node truncates).  ``max_shift``
+    is static.  Mirrors reference :213-237 bit-for-bit, INCLUDING its
+    rearrangement bias: ``concat(cc[-(n//2-1):], cc[:n//2+1])`` places lag
+    L at index ``L + n//2 - 1`` but the reference reads the center as
+    ``n//2``, so reported delays are one sample low.  ``bias_fix=True``
+    corrects that (+1); default False for exact reference parity.
+    """
+    return _gcc_phat(a, b, max_shift, bias_fix)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("max_shift", "bias_fix"))
+def xcorr_delay_curve(a: jnp.ndarray, b: jnp.ndarray, max_shift: int,
+                      bias_fix: bool = False):
+    """(delay, GCC-PHAT surface over lags [-max_shift, +max_shift]) —
+    the surface feeds the align node's debug figure."""
+    return _gcc_phat(a, b, max_shift, bias_fix)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def peak_correlation(a: jnp.ndarray, b: jnp.ndarray,
+                     lag: jnp.ndarray) -> jnp.ndarray:
+    """Normalized waveform correlation of ``a`` and ``b`` advanced by
+    ``lag`` (the delay ``xcorr_delay`` found; >0 means b lags a), over
+    their overlapping region.
+
+    This is the actual peak Pearson correlation in [-1, 1] — the
+    reference returns a constant 0.0 for ``peak_corr`` (null suite
+    :321), and the GCC-PHAT surface is whitened so its peak height is
+    meaningless; this exceeds the reference by reporting the real
+    quantity.
+    """
+    n = a.shape[0]
+    li = jnp.round(lag).astype(jnp.int32)
+    src = jnp.arange(n, dtype=jnp.int32) + li
+    valid = (src >= 0) & (src < n)
+    b_al = jnp.take(b, jnp.clip(src, 0, n - 1)) * valid
+    a_m = a * valid
+    num = jnp.sum(a_m * b_al)
+    den = jnp.sqrt(jnp.sum(a_m * a_m) * jnp.sum(b_al * b_al) + 1e-20)
+    return num / den
 
 
 @functools.partial(jax.jit, static_argnames=("taps",))

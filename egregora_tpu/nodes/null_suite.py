@@ -15,7 +15,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.audio import from_any
-from ..eval.align import apply_frac_delay, pad_or_crop, xcorr_delay
+from ..eval.align import (apply_frac_delay, pad_or_crop, peak_correlation,
+                          xcorr_delay_curve)
 from ..eval.nulltest import gain_match as _gain_match
 from ..eval.nulltest import null_test as _null_test
 from ..ops.resample import resample_linear
@@ -70,11 +71,15 @@ class Audio_Align_XCorr:
         n = min(a.shape[0], b.shape[0])
         a, b = a[:n], b[:n]
 
+        fixed = align_method == "gcc-phat-fixed"
         max_shift = int(ref["sr"] * (max_shift_ms / 1000.0))
-        lag = xcorr_delay(a, b, max_shift,
-                          bias_fix=(align_method == "gcc-phat-fixed"))
+        lag, curve = xcorr_delay_curve(a, b, max_shift, bias_fix=fixed)
         delay_samples = float(lag)
         delay_ms = 1000.0 * delay_samples / ref["sr"]
+        # reference parity: peak_corr is a constant 0.0 placeholder (null
+        # suite :321); the fixed method reports the real normalized
+        # waveform correlation at the found lag instead.
+        pk = float(peak_correlation(a, b, lag)) if fixed else 0.0
 
         shift = -lag if fractional else jnp.round(-lag)
         aligned = apply_frac_delay(proc_cn, shift, taps=int(fir_len))
@@ -82,20 +87,15 @@ class Audio_Align_XCorr:
         out = comfy_audio(ref["sr"], np.asarray(aligned), proc["meta"])
 
         try:
-            import matplotlib
-            matplotlib.use("Agg")
-            import matplotlib.pyplot as plt
-            an, bn = np.asarray(a), np.asarray(b)
-            t = np.arange(n)
-            fig, ax = plt.subplots(1, 1, figsize=(6, 2.2))
-            ax.plot(t, an, linewidth=0.5, label="A")
-            ax.plot(t, bn, linewidth=0.5, label="B")
-            ax.legend(); ax.grid(alpha=.2); ax.set_title("Align preview")
-            debug_img = image_from_figure(fig)
+            from ..utils.viz import alignment_figure
+            lags_ms = (np.arange(-max_shift, max_shift + 1) + (1 if fixed else 0)
+                       ) * 1000.0 / ref["sr"]
+            debug_img = image_from_figure(
+                alignment_figure(np.asarray(curve), lags_ms, delay_ms, pk))
         except Exception:
             debug_img = blank_image()
 
-        return (out, float(delay_samples), float(delay_ms), 0.0, debug_img)
+        return (out, float(delay_samples), float(delay_ms), pk, debug_img)
 
 
 # -----------------------------
@@ -212,13 +212,13 @@ class Audio_Plotter:
 
     def execute(self, audio_ref, audio_proc, audio_null, draw_waveforms=True,
                 draw_spectrograms=True, draw_diffspec=True, n_fft=2048, hop=512):
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
+        from ..utils.viz import (difference_figure, spectrogram_figure,
+                                 waveform_figure)
 
         ref = _coerced(audio_ref)
         pro = _coerced(audio_proc)
         nul = _coerced(audio_null)
+        sr = ref["sr"]
 
         a = jnp.mean(ref["cn"], axis=0)
         b = jnp.mean(pro["cn"], axis=0)
@@ -226,19 +226,11 @@ class Audio_Plotter:
         a_np = np.asarray(a[:n])
         b_np = np.asarray(b[:n])
         null_np = np.asarray(jnp.mean(nul["cn"], axis=0)[:n])
+        names = ("A (ref)", "B (proc)", "null")
 
         if draw_waveforms:
-            t = np.arange(n)
-            fig1, axes = plt.subplots(3, 1, figsize=(10, 6), sharex=True)
-            for ax, y, ttl in zip(axes, [a_np, b_np, null_np],
-                                  ["A: original", "B: processed", "Null: A−B"]):
-                ax.plot(t, y, linewidth=0.7)
-                ax.set_ylim(-1.05, 1.05)
-                ax.set_title(ttl)
-                ax.grid(alpha=0.25)
-            axes[-1].set_xlabel("samples")
-            fig1.tight_layout()
-            img_wave = image_from_figure(fig1)
+            img_wave = image_from_figure(waveform_figure(
+                dict(zip(names, (a_np, b_np, null_np))), sr))
         else:
             img_wave = blank_image(1, 1)
 
@@ -248,25 +240,15 @@ class Audio_Plotter:
             return 20.0 * np.log10(s + 1e-9)
 
         if draw_spectrograms:
-            sa, sb, sn = _spec_db(a_np), _spec_db(b_np), _spec_db(null_np)
-            fig2, axes2 = plt.subplots(3, 1, figsize=(10, 7))
-            for ax, s, ttl in zip(axes2, [sa, sb, sn],
-                                  ["A: spec", "B: spec", "Null: spec"]):
-                ax.imshow(s, origin="lower", aspect="auto")
-                ax.set_title(ttl)
-            fig2.tight_layout()
-            img_spec = image_from_figure(fig2)
+            img_spec = image_from_figure(spectrogram_figure(
+                dict(zip(names, map(_spec_db, (a_np, b_np, null_np)))),
+                sr, int(hop)))
         else:
             img_spec = blank_image(1, 1)
 
         if draw_diffspec:
-            sa, sb = _spec_db(a_np), _spec_db(b_np)
-            d = np.abs(10 ** (sa / 20.0) - 10 ** (sb / 20.0))
-            fig3 = plt.figure(figsize=(10, 3))
-            plt.imshow(20 * np.log10(d + 1e-9), origin="lower", aspect="auto")
-            plt.title("|Spec(A) − Spec(B)| (dB)")
-            plt.tight_layout()
-            img_diff = image_from_figure(fig3)
+            img_diff = image_from_figure(difference_figure(
+                _spec_db(a_np), _spec_db(b_np), sr, int(hop)))
         else:
             img_diff = blank_image(1, 1)
 
