@@ -25,15 +25,16 @@ def _native_dir() -> Path:
 
 def _build(src_dir: Path) -> Optional[Path]:
     so = src_dir / "libwavcodec.so"
-    src = src_dir / "wavcodec.cc"
-    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
-        return so
-    if not src.exists():
+    srcs = [src_dir / "wavcodec.cc", src_dir / "flaccodec.cc"]
+    srcs = [s for s in srcs if s.exists()]
+    if not srcs:
         return None
+    if so.exists() and so.stat().st_mtime >= max(s.stat().st_mtime for s in srcs):
+        return so
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17", "-shared",
-             "-pthread", "-o", str(so), str(src)],
+             "-pthread", "-o", str(so)] + [str(s) for s in srcs],
             check=True, capture_output=True, timeout=120)
         return so
     except Exception:
@@ -72,8 +73,55 @@ def load() -> Optional[ctypes.CDLL]:
     lib.wc_free.restype = None
     lib.wc_free.argtypes = [ctypes.c_void_p]
     lib.wc_last_error.restype = ctypes.c_char_p
+    if hasattr(lib, "fc_read"):
+        lib.fc_read.restype = ctypes.c_int
+        lib.fc_read.argtypes = lib.wc_read.argtypes
+        lib.fc_write.restype = ctypes.c_int
+        lib.fc_write.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                                 ctypes.c_int, ctypes.c_long, ctypes.c_int]
+        lib.fc_free.restype = None
+        lib.fc_free.argtypes = [ctypes.c_void_p]
+        lib.fc_last_error.restype = ctypes.c_char_p
     _LIB = lib
     return _LIB
+
+
+def read_flac(path: str) -> Tuple[np.ndarray, int]:
+    """Decode a FLAC via the native codec -> ([C, S] float32, sr)."""
+    lib = load()
+    if lib is None or not hasattr(lib, "fc_read"):
+        raise RuntimeError("native flaccodec unavailable")
+    data = ctypes.POINTER(ctypes.c_float)()
+    ch = ctypes.c_int()
+    frames = ctypes.c_long()
+    sr = ctypes.c_int()
+    rc = lib.fc_read(str(path).encode(), ctypes.byref(data), ctypes.byref(ch),
+                     ctypes.byref(frames), ctypes.byref(sr))
+    if rc != 0:
+        raise RuntimeError(f"flaccodec read failed ({rc}): "
+                           f"{lib.fc_last_error().decode()}")
+    try:
+        n = ch.value * frames.value
+        arr = np.ctypeslib.as_array(data, shape=(n,)).copy()
+    finally:
+        lib.fc_free(data)
+    return arr.reshape(ch.value, frames.value), sr.value
+
+
+def write_flac(path: str, samples_cn: np.ndarray, sr: int) -> None:
+    """Encode [C, S] float32 to 16-bit FLAC via the native codec."""
+    lib = load()
+    if lib is None or not hasattr(lib, "fc_write"):
+        raise RuntimeError("native flaccodec unavailable")
+    s = np.ascontiguousarray(samples_cn, dtype=np.float32)
+    if s.ndim == 1:
+        s = s[None, :]
+    rc = lib.fc_write(str(path).encode(),
+                      s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                      s.shape[0], s.shape[1], int(sr))
+    if rc != 0:
+        raise RuntimeError(f"flaccodec write failed ({rc}): "
+                           f"{lib.fc_last_error().decode()}")
 
 
 def read_wav(path: str) -> Tuple[np.ndarray, int]:

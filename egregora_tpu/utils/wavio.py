@@ -38,6 +38,12 @@ def read_audio(path: PathLike) -> Tuple[np.ndarray, int]:
             return read_wav(path)
         except Exception:
             pass
+    if path.lower().endswith(".flac"):
+        try:
+            from .native import read_flac
+            return read_flac(path)
+        except Exception:
+            pass
     if _have_soundfile():
         import soundfile as sf
         data, sr = sf.read(path, dtype="float32", always_2d=True)  # [S, C]
@@ -75,6 +81,13 @@ def write_audio(path: PathLike, samples_cn: np.ndarray, sr: int,
             from .native import write_wav
             bits = 32 if "32" in subtype or "FLOAT" in subtype.upper() else 16
             write_wav(path, s, int(sr), bits)
+            return
+        except Exception:
+            pass
+    if path.lower().endswith(".flac"):
+        try:
+            from .native import write_flac
+            write_flac(path, s, int(sr))
             return
         except Exception:
             pass

@@ -1,0 +1,478 @@
+// flaccodec: dependency-free FLAC decode/encode for egregora_tpu.
+//
+// The reference writes FLAC through libsndfile/soundfile
+// (egregora_fat_llama_gpu.py:241, 291); this TU makes `target_format:
+// flac` first-class without that dependency (VERDICT r1 #10).
+//
+// Decoder: full frame parsing — constant / verbatim / fixed / LPC
+// subframes, RICE + RICE2 partitioned residuals with escape codes,
+// wasted bits, left-side / right-side / mid-side decorrelation, all
+// standard block size / sample rate / sample size codes.
+// Encoder: 4096-sample frames, independent channels, best-of fixed
+// predictors (orders 0-4), single-partition rice residuals, 16-bit.
+//
+// C API (ctypes; see egregora_tpu/utils/native.py):
+//   fc_read(path, &data, &channels, &frames, &sr)    -> 0 on success
+//   fc_write(path, data, channels, frames, sr)       -> 0 on success
+//   fc_free(ptr); fc_last_error()
+//
+// Format reference: the public FLAC format specification
+// (datatracker RFC 9639 / xiph format docs).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+thread_local std::string g_err;
+void err(const std::string& e) { g_err = e; }
+
+// ----------------------------------------------------------------- CRC
+uint8_t crc8(const uint8_t* d, size_t n) {
+  uint8_t c = 0;
+  for (size_t i = 0; i < n; ++i) {
+    c ^= d[i];
+    for (int b = 0; b < 8; ++b) c = (c & 0x80) ? (uint8_t)((c << 1) ^ 0x07) : (uint8_t)(c << 1);
+  }
+  return c;
+}
+
+uint16_t crc16(const uint8_t* d, size_t n) {
+  uint16_t c = 0;
+  for (size_t i = 0; i < n; ++i) {
+    c ^= (uint16_t)d[i] << 8;
+    for (int b = 0; b < 8; ++b)
+      c = (c & 0x8000) ? (uint16_t)((c << 1) ^ 0x8005) : (uint16_t)(c << 1);
+  }
+  return c;
+}
+
+// ----------------------------------------------------------- bit reader
+struct BitReader {
+  const uint8_t* p;
+  size_t n;       // total bytes
+  size_t byte = 0;
+  int bit = 0;    // bits consumed in current byte (MSB first)
+  bool fail = false;
+
+  BitReader(const uint8_t* data, size_t len) : p(data), n(len) {}
+  bool eof() const { return byte >= n; }
+  size_t bits_pos() const { return byte * 8 + bit; }
+
+  uint32_t read_bit() {
+    if (byte >= n) { fail = true; return 0; }
+    uint32_t v = (p[byte] >> (7 - bit)) & 1;
+    if (++bit == 8) { bit = 0; ++byte; }
+    return v;
+  }
+  uint64_t read_bits(int k) {
+    uint64_t v = 0;
+    for (int i = 0; i < k; ++i) v = (v << 1) | read_bit();
+    return v;
+  }
+  int64_t read_signed(int k) {
+    uint64_t v = read_bits(k);
+    if (k > 0 && (v >> (k - 1))) v |= ~((1ull << k) - 1);  // sign extend
+    return (int64_t)v;
+  }
+  uint32_t read_unary() {  // count 0 bits until a 1
+    uint32_t q = 0;
+    while (!fail && read_bit() == 0) ++q;
+    return q;
+  }
+  void align() { if (bit) { bit = 0; ++byte; } }
+};
+
+// ----------------------------------------------------------- bit writer
+struct BitWriter {
+  std::vector<uint8_t> out;
+  uint8_t cur = 0;
+  int nb = 0;
+
+  void put_bit(uint32_t b) {
+    cur = (uint8_t)((cur << 1) | (b & 1));
+    if (++nb == 8) { out.push_back(cur); cur = 0; nb = 0; }
+  }
+  void put_bits(uint64_t v, int k) {
+    for (int i = k - 1; i >= 0; --i) put_bit((uint32_t)(v >> i));
+  }
+  void put_unary(uint32_t q) {
+    for (uint32_t i = 0; i < q; ++i) put_bit(0);
+    put_bit(1);
+  }
+  void align() { while (nb) put_bit(0); }
+};
+
+// -------------------------------------------------------------- utf-8 #
+void write_utf8(BitWriter& bw, uint64_t v) {
+  if (v < 0x80) { bw.put_bits(v, 8); return; }
+  int bytes = 2;
+  for (uint64_t lim = 1ull << 11; v >= lim && bytes < 7; lim <<= 5) ++bytes;
+  static const uint8_t head[8] = {0, 0, 0xC0, 0xE0, 0xF0, 0xF8, 0xFC, 0xFE};
+  int shift = 6 * (bytes - 1);
+  bw.put_bits((uint64_t)head[bytes] | (v >> shift), 8);
+  for (int i = bytes - 2; i >= 0; --i)
+    bw.put_bits(0x80 | ((v >> (6 * i)) & 0x3F), 8);
+}
+
+int read_utf8(BitReader& br, uint64_t* v) {
+  uint32_t b0 = (uint32_t)br.read_bits(8);
+  if (br.fail) return -1;
+  int extra = 0;
+  uint64_t val;
+  if ((b0 & 0x80) == 0) { *v = b0; return 0; }
+  else if ((b0 & 0xE0) == 0xC0) { extra = 1; val = b0 & 0x1F; }
+  else if ((b0 & 0xF0) == 0xE0) { extra = 2; val = b0 & 0x0F; }
+  else if ((b0 & 0xF8) == 0xF0) { extra = 3; val = b0 & 0x07; }
+  else if ((b0 & 0xFC) == 0xF8) { extra = 4; val = b0 & 0x03; }
+  else if ((b0 & 0xFE) == 0xFC) { extra = 5; val = b0 & 0x01; }
+  else if (b0 == 0xFE) { extra = 6; val = 0; }
+  else return -1;
+  for (int i = 0; i < extra; ++i) {
+    uint32_t b = (uint32_t)br.read_bits(8);
+    if (br.fail || (b & 0xC0) != 0x80) return -1;
+    val = (val << 6) | (b & 0x3F);
+  }
+  *v = val;
+  return 0;
+}
+
+// ------------------------------------------------------------- decoder
+int decode_residual(BitReader& br, int blocksize, int pred_order,
+                    std::vector<int64_t>& x) {
+  uint32_t method = (uint32_t)br.read_bits(2);
+  if (method > 1) { err("flac: bad residual method"); return -1; }
+  int pbits = method == 0 ? 4 : 5;
+  uint32_t esc = method == 0 ? 0xF : 0x1F;
+  uint32_t po = (uint32_t)br.read_bits(4);
+  uint32_t nparts = 1u << po;
+  int idx = pred_order;
+  for (uint32_t part = 0; part < nparts; ++part) {
+    int cnt = (int)(blocksize >> po) - (part == 0 ? pred_order : 0);
+    if (cnt < 0) { err("flac: bad partition layout"); return -1; }
+    uint32_t param = (uint32_t)br.read_bits(pbits);
+    if (param == esc) {
+      int raw = (int)br.read_bits(5);
+      for (int i = 0; i < cnt; ++i)
+        x[idx++] = raw ? br.read_signed(raw) : 0;
+    } else {
+      for (int i = 0; i < cnt; ++i) {
+        uint32_t q = br.read_unary();
+        uint64_t u = ((uint64_t)q << param) | br.read_bits((int)param);
+        x[idx++] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+      }
+    }
+    if (br.fail) { err("flac: residual past end"); return -1; }
+  }
+  return 0;
+}
+
+int decode_subframe(BitReader& br, int blocksize, int bps,
+                    std::vector<int64_t>& x) {
+  x.assign(blocksize, 0);
+  if (br.read_bit() != 0) { err("flac: subframe pad bit"); return -1; }
+  uint32_t type = (uint32_t)br.read_bits(6);
+  int wasted = 0;
+  if (br.read_bit()) {
+    wasted = 1 + (int)br.read_unary();
+    bps -= wasted;
+  }
+  if (type == 0) {                           // CONSTANT
+    int64_t v = br.read_signed(bps);
+    for (int i = 0; i < blocksize; ++i) x[i] = v;
+  } else if (type == 1) {                    // VERBATIM
+    for (int i = 0; i < blocksize; ++i) x[i] = br.read_signed(bps);
+  } else if ((type & 0x38) == 0x08 && (type & 7) <= 4) {  // FIXED
+    int order = (int)(type & 7);
+    for (int i = 0; i < order; ++i) x[i] = br.read_signed(bps);
+    if (decode_residual(br, blocksize, order, x)) return -1;
+    for (int i = order; i < blocksize; ++i) {
+      switch (order) {
+        case 0: break;
+        case 1: x[i] += x[i - 1]; break;
+        case 2: x[i] += 2 * x[i - 1] - x[i - 2]; break;
+        case 3: x[i] += 3 * x[i - 1] - 3 * x[i - 2] + x[i - 3]; break;
+        case 4: x[i] += 4 * x[i - 1] - 6 * x[i - 2] + 4 * x[i - 3] - x[i - 4]; break;
+      }
+    }
+  } else if (type & 0x20) {                  // LPC
+    int order = (int)(type & 0x1F) + 1;
+    for (int i = 0; i < order; ++i) x[i] = br.read_signed(bps);
+    int prec = (int)br.read_bits(4) + 1;
+    if (prec == 16) { err("flac: bad lpc precision"); return -1; }
+    int shift = (int)br.read_signed(5);
+    std::vector<int64_t> coef(order);
+    for (int i = 0; i < order; ++i) coef[i] = br.read_signed(prec);
+    if (decode_residual(br, blocksize, order, x)) return -1;
+    for (int i = order; i < blocksize; ++i) {
+      int64_t acc = 0;
+      for (int j = 0; j < order; ++j) acc += coef[j] * x[i - 1 - j];
+      x[i] += shift >= 0 ? (acc >> shift) : (acc << -shift);
+    }
+  } else {
+    err("flac: reserved subframe type");
+    return -1;
+  }
+  if (wasted)
+    for (int i = 0; i < blocksize; ++i) x[i] <<= wasted;
+  return br.fail ? -1 : 0;
+}
+
+const int kSampleRateTable[12] = {0,     88200, 176400, 192000, 8000, 16000,
+                                  22050, 24000, 32000,  44100,  48000, 96000};
+const int kBpsTable[8] = {0, 8, 12, 0, 16, 20, 24, 32};
+
+}  // namespace
+
+extern "C" {
+
+const char* fc_last_error() { return g_err.c_str(); }
+void fc_free(void* p) { free(p); }
+
+// Decode a FLAC file to planar float32 [channels][frames].
+int fc_read(const char* path, float** data, int* channels, long* frames,
+            int* sample_rate) {
+  g_err.clear();
+  FILE* f = fopen(path, "rb");
+  if (!f) { err("flac: cannot open file"); return -1; }
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf((size_t)sz);
+  if (fread(buf.data(), 1, (size_t)sz, f) != (size_t)sz) {
+    fclose(f); err("flac: short read"); return -1;
+  }
+  fclose(f);
+  if (sz < 42 || memcmp(buf.data(), "fLaC", 4) != 0) {
+    err("flac: bad magic"); return -1;
+  }
+
+  // metadata blocks
+  size_t pos = 4;
+  int sr = 0, nch = 0, bps = 0;
+  uint64_t total = 0;
+  bool have_info = false, last = false;
+  while (!last && pos + 4 <= (size_t)sz) {
+    uint8_t h = buf[pos];
+    last = (h & 0x80) != 0;
+    int btype = h & 0x7F;
+    uint32_t blen = ((uint32_t)buf[pos + 1] << 16) | ((uint32_t)buf[pos + 2] << 8) |
+                    buf[pos + 3];
+    pos += 4;
+    if (btype == 0 && blen >= 34) {
+      const uint8_t* s = &buf[pos];
+      sr = ((int)s[10] << 12) | ((int)s[11] << 4) | (s[12] >> 4);
+      nch = ((s[12] >> 1) & 7) + 1;
+      bps = (((s[12] & 1) << 4) | (s[13] >> 4)) + 1;
+      total = ((uint64_t)(s[13] & 0x0F) << 32) | ((uint64_t)s[14] << 24) |
+              ((uint64_t)s[15] << 16) | ((uint64_t)s[16] << 8) | s[17];
+      have_info = true;
+    }
+    pos += blen;
+  }
+  if (!have_info || sr <= 0 || nch <= 0) { err("flac: no STREAMINFO"); return -1; }
+
+  std::vector<std::vector<float>> pcm(nch);
+  if (total) for (int c = 0; c < nch; ++c) pcm[c].reserve((size_t)total);
+
+  BitReader br(buf.data(), (size_t)sz);
+  br.byte = pos;
+  std::vector<std::vector<int64_t>> chan(nch);
+
+  while (br.byte + 2 <= (size_t)sz) {
+    // frame header
+    if ((uint32_t)br.read_bits(14) != 0x3FFE) break;   // no more frames
+    br.read_bit();                                      // reserved
+    br.read_bit();                                      // blocking strategy
+    uint32_t bs_code = (uint32_t)br.read_bits(4);
+    uint32_t sr_code = (uint32_t)br.read_bits(4);
+    uint32_t ch_asgn = (uint32_t)br.read_bits(4);
+    uint32_t ss_code = (uint32_t)br.read_bits(3);
+    br.read_bit();                                      // reserved
+    uint64_t fnum;
+    if (read_utf8(br, &fnum)) { err("flac: bad frame number"); return -1; }
+    int blocksize;
+    if (bs_code == 1) blocksize = 192;
+    else if (bs_code >= 2 && bs_code <= 5) blocksize = 576 << (bs_code - 2);
+    else if (bs_code == 6) blocksize = (int)br.read_bits(8) + 1;
+    else if (bs_code == 7) blocksize = (int)br.read_bits(16) + 1;
+    else if (bs_code >= 8) blocksize = 256 << (bs_code - 8);
+    else { err("flac: reserved blocksize code"); return -1; }
+    if (sr_code == 12) br.read_bits(8);
+    else if (sr_code == 13 || sr_code == 14) br.read_bits(16);
+    else if (sr_code == 15) { err("flac: invalid sr code"); return -1; }
+    int fbps = ss_code == 0 ? bps : kBpsTable[ss_code];
+    if (!fbps) { err("flac: reserved sample size"); return -1; }
+    br.read_bits(8);                                    // header CRC-8
+    if (br.fail) { err("flac: truncated header"); return -1; }
+
+    int fch = ch_asgn < 8 ? (int)ch_asgn + 1 : 2;
+    if (fch != nch) { err("flac: channel count change"); return -1; }
+
+    for (int c = 0; c < nch; ++c) {
+      int sub_bps = fbps;
+      if ((ch_asgn == 8 && c == 1) || (ch_asgn == 9 && c == 0) ||
+          (ch_asgn == 10 && c == 1))
+        sub_bps += 1;                                   // side channel
+      if (decode_subframe(br, blocksize, sub_bps, chan[c])) return -1;
+    }
+    br.align();
+    br.read_bits(16);                                   // frame CRC-16
+    if (br.fail) { err("flac: truncated frame"); return -1; }
+
+    // undo stereo decorrelation
+    if (ch_asgn == 8) {            // left/side
+      for (int i = 0; i < blocksize; ++i) chan[1][i] = chan[0][i] - chan[1][i];
+    } else if (ch_asgn == 9) {     // right/side: ch0=side, ch1=right
+      for (int i = 0; i < blocksize; ++i) chan[0][i] = chan[1][i] + chan[0][i];
+    } else if (ch_asgn == 10) {    // mid/side
+      for (int i = 0; i < blocksize; ++i) {
+        int64_t side = chan[1][i];
+        int64_t mid = (chan[0][i] << 1) | (side & 1);
+        chan[0][i] = (mid + side) >> 1;
+        chan[1][i] = (mid - side) >> 1;
+      }
+    }
+    const float k = 1.0f / (float)(1ll << (fbps - 1));
+    for (int c = 0; c < nch; ++c)
+      for (int i = 0; i < blocksize; ++i)
+        pcm[c].push_back((float)chan[c][i] * k);
+  }
+
+  long nf = (long)pcm[0].size();
+  if (total && (uint64_t)nf > total) nf = (long)total;   // drop padding
+  float* out = (float*)malloc(sizeof(float) * (size_t)nch * (size_t)nf);
+  if (!out) { err("flac: oom"); return -1; }
+  for (int c = 0; c < nch; ++c)
+    memcpy(out + (size_t)c * nf, pcm[c].data(), sizeof(float) * (size_t)nf);
+  *data = out;
+  *channels = nch;
+  *frames = nf;
+  *sample_rate = sr;
+  return 0;
+}
+
+// Encode planar float32 [channels][frames] to 16-bit FLAC.
+int fc_write(const char* path, const float* data, int channels, long frames,
+             int sample_rate) {
+  g_err.clear();
+  if (channels < 1 || channels > 8 || frames <= 0) {
+    err("flac: bad shape"); return -1;
+  }
+  const int bps = 16;
+  const int BS = 4096;
+
+  std::vector<uint8_t> file;
+  file.insert(file.end(), {'f', 'L', 'a', 'C'});
+  // STREAMINFO (last metadata block)
+  uint8_t info[38] = {0};
+  info[0] = 0x80;                 // last-block | type 0
+  info[3] = 34;
+  info[4] = (BS >> 8) & 0xFF; info[5] = BS & 0xFF;        // min blocksize
+  info[6] = info[4]; info[7] = info[5];                   // max blocksize
+  // min/max framesize unknown (0); sr/ch/bps/total packed:
+  info[14] = (uint8_t)(sample_rate >> 12);
+  info[15] = (uint8_t)(sample_rate >> 4);
+  info[16] = (uint8_t)(((sample_rate & 0xF) << 4) | (((channels - 1) & 7) << 1) |
+                       (((bps - 1) >> 4) & 1));
+  uint64_t total = (uint64_t)frames;
+  info[17] = (uint8_t)((((bps - 1) & 0xF) << 4) | ((total >> 32) & 0xF));
+  info[18] = (uint8_t)(total >> 24);
+  info[19] = (uint8_t)(total >> 16);
+  info[20] = (uint8_t)(total >> 8);
+  info[21] = (uint8_t)total;
+  file.insert(file.end(), info, info + 38);
+
+  std::vector<int32_t> blk(BS);
+  std::vector<int64_t> res[5];
+
+  uint64_t fnum = 0;
+  for (long start = 0; start < frames; start += BS, ++fnum) {
+    int bs = (int)((frames - start) < BS ? (frames - start) : BS);
+    BitWriter bw;
+    bw.put_bits(0x3FFE, 14);
+    bw.put_bit(0);                 // reserved
+    bw.put_bit(0);                 // fixed blocksize strategy
+    bw.put_bits(bs == 4096 ? 12 : 7, 4);   // blocksize code
+    bw.put_bits(0, 4);             // sample rate: from STREAMINFO
+    bw.put_bits((uint32_t)(channels - 1), 4);  // independent channels
+    bw.put_bits(4, 3);             // 16 bits per sample
+    bw.put_bit(0);                 // reserved
+    write_utf8(bw, fnum);
+    if (bs != 4096) bw.put_bits((uint32_t)(bs - 1), 16);
+    bw.align();
+    bw.put_bits(crc8(bw.out.data(), bw.out.size()), 8);
+
+    for (int c = 0; c < channels; ++c) {
+      const float* src = data + (size_t)c * frames + start;
+      for (int i = 0; i < bs; ++i) {
+        float v = src[i];
+        if (v > 1.0f) v = 1.0f;
+        if (v < -1.0f) v = -1.0f;
+        int s = (int)(v * 32767.0f + (v >= 0 ? 0.5f : -0.5f));
+        blk[i] = s;
+      }
+      // pick the fixed order (0-4) with the smallest |residual| sum
+      int max_order = bs > 4 ? 4 : 0;
+      uint64_t best_cost = ~0ull;
+      int best = 0;
+      for (int o = 0; o <= max_order; ++o) {
+        res[o].assign(bs, 0);
+        for (int i = 0; i < bs; ++i) {
+          int64_t r = blk[i];
+          if (o >= 1 && i >= o) {
+            switch (o) {
+              case 1: r = (int64_t)blk[i] - blk[i - 1]; break;
+              case 2: r = (int64_t)blk[i] - 2 * blk[i - 1] + blk[i - 2]; break;
+              case 3: r = (int64_t)blk[i] - 3 * blk[i - 1] + 3 * blk[i - 2] - blk[i - 3]; break;
+              case 4: r = (int64_t)blk[i] - 4 * blk[i - 1] + 6 * blk[i - 2] - 4 * blk[i - 3] + blk[i - 4]; break;
+            }
+          } else if (o >= 1) {
+            r = 0;  // warmup region, not rice-coded
+          }
+          res[o][i] = r;
+        }
+        uint64_t cost = 0;
+        for (int i = o; i < bs; ++i)
+          cost += (uint64_t)(res[o][i] < 0 ? -res[o][i] : res[o][i]);
+        if (cost < best_cost) { best_cost = cost; best = o; }
+      }
+      int o = best;
+      // rice parameter from mean residual magnitude
+      uint64_t mean = bs > o ? best_cost / (uint64_t)(bs - o) : 0;
+      int param = 0;
+      while (param < 14 && (1ull << param) < mean + 1) ++param;
+
+      bw.put_bit(0);                          // subframe pad
+      bw.put_bits(0x08 | (uint32_t)o, 6);     // FIXED, order o
+      bw.put_bit(0);                          // no wasted bits
+      for (int i = 0; i < o; ++i) bw.put_bits((uint32_t)(blk[i] & 0xFFFF), bps);
+      bw.put_bits(0, 2);                      // rice method 0 (4-bit)
+      bw.put_bits(0, 4);                      // partition order 0
+      bw.put_bits((uint32_t)param, 4);
+      for (int i = o; i < bs; ++i) {
+        int64_t v = res[o][i];
+        uint64_t u = (uint64_t)((v << 1) ^ (v >> 63));
+        bw.put_unary((uint32_t)(u >> param));
+        bw.put_bits(u, param);
+      }
+    }
+    bw.align();
+    uint16_t c16 = crc16(bw.out.data(), bw.out.size());
+    bw.put_bits(c16, 16);
+    file.insert(file.end(), bw.out.begin(), bw.out.end());
+  }
+
+  FILE* f = fopen(path, "wb");
+  if (!f) { err("flac: cannot open for write"); return -1; }
+  size_t w = fwrite(file.data(), 1, file.size(), f);
+  fclose(f);
+  if (w != file.size()) { err("flac: short write"); return -1; }
+  return 0;
+}
+
+}  // extern "C"

@@ -86,3 +86,34 @@ def test_wavio_prefers_native(lib, tmp_path):
     y, sr = wavio.read_audio(p)
     assert sr == 48000
     np.testing.assert_allclose(y, x, atol=1.0 / 16000)
+
+
+def test_native_flac_roundtrip(tmp_path):
+    """Native FLAC encode (fixed predictors + rice) -> decode roundtrip
+    at 16-bit quantization accuracy, through the wavio front door."""
+    import numpy as np
+    from egregora_tpu.utils.wavio import read_audio, write_audio
+
+    rng = np.random.default_rng(3)
+    t = np.arange(48000) / 48000.0
+    x = np.stack([
+        0.5 * np.sin(2 * np.pi * 440 * t),
+        0.2 * np.sin(2 * np.pi * 220 * t) + 0.02 * rng.standard_normal(len(t)),
+    ]).astype(np.float32)
+    p = tmp_path / "clip.flac"
+    write_audio(p, x, 48000)
+    assert p.stat().st_size < x.nbytes / 2   # actually compressed
+    y, sr = read_audio(p)
+    assert sr == 48000 and y.shape == x.shape
+    assert np.abs(y - x).max() < 1e-3        # 16-bit quantization bound
+
+
+def test_native_flac_mono_and_short(tmp_path):
+    import numpy as np
+    from egregora_tpu.utils.native import read_flac, write_flac
+
+    x = (0.1 * np.sin(np.arange(1000) * 0.05)).astype(np.float32)[None]
+    write_flac(str(tmp_path / "m.flac"), x, 16000)   # sub-blocksize tail frame
+    y, sr = read_flac(str(tmp_path / "m.flac"))
+    assert sr == 16000 and y.shape == (1, 1000)
+    assert np.abs(y - x).max() < 1e-3
