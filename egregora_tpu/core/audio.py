@@ -194,9 +194,19 @@ def from_any(x: Any) -> AudioBuffer:
     if isinstance(x, dict) and "waveform" in x and any(k in x for k in ("sample_rate", "sr", "rate")):
         sr = int(x.get("sample_rate") or x.get("sr") or x.get("rate"))
         wf = _to_numpy(x["waveform"])
+        meta = dict(x.get("meta", {}))
         if wf.ndim == 3:
-            wf = wf[0]
-        return make_audio(sr, wf, x.get("meta", {}))
+            # true [B, C, T] batches (B > 1) fold onto the channel axis
+            # for processing and are restored at the node boundary
+            # (nodes/base.comfy_audio) — the reference preserves [B,C,T]
+            # (egregora_audio_enhance_extras.py:29-64)
+            b, c = int(wf.shape[0]), int(wf.shape[1])
+            if b > 1:
+                meta["batch"] = b
+                wf = wf.reshape(b * c, wf.shape[-1])
+            else:
+                wf = wf[0]
+        return make_audio(sr, wf, meta)
     if isinstance(x, dict) and ("sr" in x or "sample_rate" in x):
         sr = int(x.get("sr") or x.get("sample_rate"))
         buf = None

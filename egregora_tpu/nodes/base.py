@@ -22,19 +22,29 @@ def to_buffer(x: Any) -> AudioBuffer:
 
 
 def comfy_audio(sr: int, samples_cn: Any, meta: Optional[dict] = None) -> Dict[str, Any]:
-    """Extended AUDIO dict (reference ``make_audio``, eval pack :77-86)."""
+    """Extended AUDIO dict (reference ``make_audio``, eval pack :77-86).
+
+    If the input arrived as a true ``[B, C, T]`` batch (B > 1), the
+    fold is undone here so the returned ``waveform`` is ``[B, C, T]``
+    again, matching the reference's batch semantics."""
     s = normalize_cn(samples_cn)
+    meta = dict(meta or {})
+    b = int(meta.get("batch", 1) or 1)
+    if b > 1 and s.shape[0] % b == 0:
+        arr = np.ascontiguousarray(s).reshape(b, s.shape[0] // b, s.shape[1])
+    else:
+        arr = np.ascontiguousarray(s)[None, ...]
     try:
         import torch
-        wf = torch.from_numpy(np.ascontiguousarray(s).copy()).unsqueeze(0)
+        wf = torch.from_numpy(arr.copy())
     except Exception:  # torch-less environments still get an array
-        wf = s[None, ...]
+        wf = arr
     return {
         "sr": int(sr),
         "sample_rate": int(sr),
         "samples": s,
         "waveform": wf,
-        "meta": dict(meta or {}),
+        "meta": meta,
     }
 
 

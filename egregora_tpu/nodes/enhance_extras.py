@@ -88,6 +88,19 @@ class Egregora_RNNoise_Denoise:
         wet, vads = denoise(self._params(), xp)
         wet = wet[:, :t]
 
+        # frame_ms sets the VAD DECISION granularity: the engine's frame
+        # is fixed at 10 ms (the C library's contract), but the adaptive
+        # mix can follow a coarser grid — vad probs mean-pool over
+        # frame_ms/10 engine frames (the widget the reference accepts
+        # but never wires, extras :563-571; wired here).
+        group = max(1, int(frame_ms) // 10)
+        if group > 1:
+            f = vads.shape[1]
+            pad_f = (-f) % group
+            vp = jnp.pad(vads, ((0, 0), (0, pad_f)), mode="edge")
+            vp = vp.reshape(vads.shape[0], -1, group).mean(axis=-1)
+            vads = jnp.repeat(vp, group, axis=1)[:, :f]
+
         mixed = []
         for c in range(x48.shape[0]):
             y = adaptive_mix(x48[c], wet[c], vads[c], strength=float(strength),
