@@ -25,11 +25,12 @@ import numpy as np
 
 def _sync(arr) -> float:
     """Force completion.  On the remote-TPU relay block_until_ready can
-    return at enqueue time; a host transfer of a slice cannot."""
+    return at enqueue time; a host transfer of a (tiny) slice cannot.
+    Only 4 elements cross the relay — a full-array transfer at the
+    relay's ~13 MB/s would dominate every measurement."""
     arr.block_until_ready()
-    a = np.asarray(arr)
-    flat = a.reshape(-1)[:4]
-    return float(flat.sum())
+    flat = arr.reshape(-1)[:4] if hasattr(arr, "reshape") else arr
+    return float(np.asarray(flat).sum())
 
 
 def _emit(metric: str, value: float, unit: str, vs: float) -> None:
@@ -73,7 +74,11 @@ def bench_chunk_forward(pipe, jnp) -> None:
 
 def bench_fatllama(jnp) -> None:
     """Config #1: one IST pass on a 30 s 16 kHz mono clip; report
-    effective iterations/s of the jitted fori_loop engine."""
+    effective iterations/s of the jitted fori_loop engine.  Uses the
+    MXU matmul-FFT path exactly like the node layer does on
+    accelerators (nodes/spectral_enhance.py:78-90)."""
+    import jax
+
     from egregora_tpu.ops.spectral import spectral_enhance, upscale_factor
 
     sr = 16000
@@ -81,10 +86,11 @@ def bench_fatllama(jnp) -> None:
     x = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[None]
     iters = 400
     factor = upscale_factor(sr, 1, 1411)
-    y = spectral_enhance(jnp.asarray(x), factor, iters, 0.6)
+    use_mm = jax.devices()[0].platform not in ("cpu",)
+    y = spectral_enhance(jnp.asarray(x), factor, iters, 0.6, use_matmul_fft=use_mm)
     _sync(y)  # compile
     t0 = time.time()
-    y = spectral_enhance(jnp.asarray(x), factor, iters, 0.6)
+    y = spectral_enhance(jnp.asarray(x), factor, iters, 0.6, use_matmul_fft=use_mm)
     _sync(y)
     dt = time.time() - t0
     _emit("fatllama_ist_iters_s", iters / dt, "iters_per_s", 0.0)

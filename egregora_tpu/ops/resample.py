@@ -46,13 +46,42 @@ def _design_kernel(up: int, down: int, width: int, rolloff: float, beta: float) 
     return h.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def _block_matrix(up: int, down: int, width: int, rolloff: float, beta: float
+                  ) -> "tuple[np.ndarray, int, int, int]":
+    """(M [L+2m, Bout], L, Bout, m) for the blocked polyphase matmul.
+
+    ``y[j] = sum_i x[i] * h[i*up - j*down + half]`` is block-shift-
+    invariant when the input block length L is a multiple of ``down``
+    (then L*up == Bout*down exactly), so ONE dense matrix maps every
+    padded input block ``[b*L - m, b*L + L + m)`` to its Bout outputs.
+    """
+    h = _design_kernel(up, down, width, rolloff, beta)
+    half = (h.shape[0] - 1) // 2
+    m = half // up + 1                       # input-sample halo
+    # target ~512-1024 input samples per block, multiple of `down`
+    l = down * max(1, -(-512 // down))
+    bout = l * up // down
+    rows = l + 2 * m
+    mat = np.zeros((rows, bout), dtype=np.float32)
+    idx_i = np.arange(rows)[:, None] - m     # local input index (global-aligned)
+    idx_j = np.arange(bout)[None, :]
+    t = idx_i * up - idx_j * down + half     # tap index into h
+    valid = (t >= 0) & (t < h.shape[0])
+    mat[valid] = h[t[valid]]
+    return mat, l, bout, m
+
+
 def resample_poly(x_cs: jnp.ndarray, src_sr: int, dst_sr: int, *,
                   width: int = DEFAULT_WIDTH, rolloff: float = DEFAULT_ROLLOFF,
                   beta: float = DEFAULT_BETA) -> jnp.ndarray:
     """Polyphase resample ``[C, S] -> [C, ceil(S*up/down)]`` (jittable).
 
     ``src_sr``/``dst_sr`` must be static ints (they select the compiled
-    kernel).  Channels ride the conv batch dimension.
+    kernel).  Runs as a blocked Toeplitz MATMUL on overlapping input
+    frames — a 1-channel ``conv_general_dilated`` never reaches the MXU
+    (measured 3.5 s for 60 s of 16k->48k vs ~10 ms as a matmul), the
+    same trap as ops/fir.fir_same.
     """
     src_sr, dst_sr = int(src_sr), int(dst_sr)
     if src_sr == dst_sr:
@@ -60,30 +89,19 @@ def resample_poly(x_cs: jnp.ndarray, src_sr: int, dst_sr: int, *,
     g = math.gcd(src_sr, dst_sr)
     up, down = dst_sr // g, src_sr // g
 
-    h = _design_kernel(up, down, width, rolloff, beta)
-    k = h.shape[0]
-    half = (k - 1) // 2
-
+    mat, l, bout, m = _block_matrix(up, down, width, rolloff, beta)
     c, s = x_cs.shape
     out_len = -(-s * up // down)  # ceil
-    eff = (s - 1) * up + 1        # length after lhs dilation
-    pad_left = half
-    # choose pad_right so the strided conv emits exactly out_len samples
-    pad_right = (out_len - 1) * down + k - pad_left - eff
-    pad_right = max(pad_right, 0)
+    nb = -(-s // l)
 
-    lhs = x_cs.astype(jnp.float32)[:, None, :]           # [C, 1, S]  (N,C,W)
-    rhs = jnp.asarray(h)[None, None, :]                  # [1, 1, K]  (O,I,W)
-    y = jax.lax.conv_general_dilated(
-        lhs, rhs,
-        window_strides=(down,),
-        padding=[(pad_left, pad_right)],
-        lhs_dilation=(up,),
-        rhs_dilation=(1,),
-        dimension_numbers=("NCW", "OIW", "NCW"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return y[:, 0, :out_len]
+    x = x_cs.astype(jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (m, m + nb * l - s)))
+    # overlapping frames [C, nb, L+2m]: pure strided slices (no gather)
+    from .stft import frame_strided
+    frames = frame_strided(xp, l + 2 * m, l)[:, :nb]
+    y = jnp.einsum("cbi,io->cbo", frames, jnp.asarray(mat),
+                   precision=jax.lax.Precision.HIGHEST)
+    return y.reshape(c, nb * bout)[:, :out_len]
 
 
 def resample_linear(x_cs: jnp.ndarray, src_sr: int, dst_sr: int) -> jnp.ndarray:
