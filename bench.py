@@ -158,18 +158,26 @@ def bench_node_path(pipe, jnp) -> None:
     rng = np.random.default_rng(3)
     x_host = (rng.standard_normal((1, in_sr * secs)) * 0.1).astype(np.float32)
 
-    def run():
+    def dispatch():
         buf = AudioBuffer(jnp.asarray(x_host), in_sr, {})
-        out = pipe.process(buf, lowpass_input=False, output_sr=48000,
-                           max_batch=32)
-        return np.asarray(out.samples)  # host out — full sync
+        return pipe.process(buf, lowpass_input=False, output_sr=48000,
+                            max_batch=32)
 
-    run()  # compile everything (forward reused from bench 1 if shapes align)
-    trials = 2
+    np.asarray(dispatch().samples)  # compile everything + settle
+    # throughput: dispatches are async, so later jobs' compute overlaps
+    # earlier jobs' d2h transfer (relay d2h measured ~13 MB/s is the
+    # serial floor; every byte still crosses to the host)
+    trials = 5
     t0 = time.time()
-    for _ in range(trials):
-        y = run()
+    outs = [dispatch() for _ in range(trials)]
+    for o in outs:   # start d2h copies early; they overlap queued compute
+        try:
+            o.samples.copy_to_host_async()
+        except Exception:
+            pass
+    ys = [np.asarray(o.samples) for o in outs]
     dt = time.time() - t0
+    assert all(np.isfinite(y).all() for y in ys)
     rtf = trials * secs / dt
     _emit("flashsr_node_rtf_48k", rtf, "x_realtime_per_chip", rtf / 100.0)
 

@@ -234,6 +234,13 @@ def _shift_stack(x: jnp.ndarray, order: int) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("post_filter",))
 def enhance_mono(params: Dict, x: jnp.ndarray, post_filter: bool = False) -> jnp.ndarray:
     """Denoise mono 48 kHz ``[T] -> [T]`` (libDF ``enhance`` analog)."""
+    return enhance_mono_full(params, x, post_filter)[0]
+
+
+@functools.partial(jax.jit, static_argnames=("post_filter",))
+def enhance_mono_full(params: Dict, x: jnp.ndarray, post_filter: bool = False):
+    """(denoised [T], erb gains [frames, 32], noisy band power [frames, 32])
+    — the gains/energies feed the oracle-gain distillation loss."""
     t = x.shape[0]
     # fade padding: full window coverage at both edges — without it the
     # WOLA division by near-zero window sums amplifies any spectral
@@ -312,7 +319,22 @@ def enhance_mono(params: Dict, x: jnp.ndarray, post_filter: bool = False) -> jnp
     floor = 1e-3 * jnp.max(wsum)
     acc = acc * (wsum >= floor)
     y = acc / jnp.where(wsum >= floor, wsum, 1.0)
-    return y[lead: lead + t].astype(jnp.float32)
+    erb_pow_lin = (spec.real ** 2 + spec.imag ** 2) @ fb
+    return y[lead: lead + t].astype(jnp.float32), gains, erb_pow_lin
+
+
+def erb_band_energies(x: jnp.ndarray) -> jnp.ndarray:
+    """``[T] -> [frames, 32]`` linear ERB band power through the exact
+    framing ``enhance_mono_full`` uses (incl. its lead pad) — the
+    oracle-gain trainer's view of the clean target."""
+    t = x.shape[0]
+    lead = N_FFT
+    n_frames = max(1, (t + lead) // HOP + 1)
+    xp = jnp.pad(x, (lead, n_frames * HOP + N_FFT - t - lead))
+    win = jnp.asarray(hann_periodic(N_FFT))
+    idx = jnp.arange(n_frames)[:, None] * HOP + jnp.arange(N_FFT)[None, :]
+    spec = jnp.fft.rfft(jnp.take(xp, idx, axis=0) * win, axis=-1)
+    return (spec.real ** 2 + spec.imag ** 2) @ jnp.asarray(erb_filterbank())
 
 
 def enhance(params: Dict, x_cn: jnp.ndarray, cfg: DFNConfig = DFNConfig(),

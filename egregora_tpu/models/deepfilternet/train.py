@@ -33,8 +33,20 @@ def _band_mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def loss_fn(params: Dict, noisy: jnp.ndarray, clean: jnp.ndarray) -> jnp.ndarray:
-    out = jax.vmap(lambda x: enhance_mono(params, x))(noisy)
-    return (_band_mse(out, clean)
+    """Oracle ERB-gain regression (gamma=0.5, the formulation that fixed
+    the RNNoise distillation: well-conditioned, phase-free) plus the
+    end-to-end spectral/waveform terms that keep the deep filter and
+    WOLA stages honest."""
+    from .model import enhance_mono_full, erb_band_energies
+
+    out, gains, en = jax.vmap(
+        lambda x: enhance_mono_full(params, x))(noisy)
+    ec = jax.vmap(erb_band_energies)(clean)
+    g_star = jnp.clip(jnp.sqrt(ec / (en + 1e-10)), 0.0, 1.0)
+    active = (en > 1e-7).astype(jnp.float32)
+    l_gain = jnp.sum(active * jnp.square(gains ** 0.5 - g_star ** 0.5)
+                     ) / (jnp.sum(active) + 1.0)
+    return (10.0 * l_gain + 0.3 * _band_mse(out, clean)
             + 10.0 * jnp.mean(jnp.square(out - clean)))
 
 
