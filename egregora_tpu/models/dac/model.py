@@ -249,3 +249,69 @@ def build_dac(model_type: str = "44khz", seed: int = 0):
             params = model.init_params(seed)
         _CACHE[model_type] = (model, params, cfg.sample_rate)
     return _CACHE[model_type]
+
+
+def dac_name_map(cfg: DACConfig = DACConfig()):
+    """Upstream descript-audio-codec checkpoint naming -> this tree.
+
+    Upstream modules (dac/model/dac.py): ``encoder.block.{i}`` /
+    ``decoder.model.{i}`` Sequentials of Snake1d + WNConv1d layers,
+    ``quantizer.quantizers.{q}.{in_proj,out_proj,codebook}``.
+    weight_norm pairs fold before this map; Snake1d alphas are
+    ``[1, C, 1]`` (-> flat ``[C]``) and the RVQ projections are 1x1
+    convs ``[out, in, 1]`` (-> dense ``[in, out]``) — both handled via
+    callable transforms.
+    """
+    flat = lambda v: v.reshape(-1)                       # Snake alpha
+    px = lambda v: v[:, :, 0].T                          # 1x1 conv -> dense
+    m = {}
+
+    def res_unit(t_prefix, f_prefix):
+        m[f"{t_prefix}.block.0.alpha"] = (f"{f_prefix}/Snake_0/alpha", flat)
+        m[f"{t_prefix}.block.1.weight"] = f"{f_prefix}/Conv_0/kernel"
+        m[f"{t_prefix}.block.1.bias"] = f"{f_prefix}/Conv_0/bias"
+        m[f"{t_prefix}.block.2.alpha"] = (f"{f_prefix}/Snake_1/alpha", flat)
+        m[f"{t_prefix}.block.3.weight"] = f"{f_prefix}/Conv_1/kernel"
+        m[f"{t_prefix}.block.3.bias"] = f"{f_prefix}/Conv_1/bias"
+
+    n = len(cfg.strides)
+    # encoder: block.0 stem, block.{1..n} EncoderBlocks, then Snake + conv
+    m["encoder.block.0.weight"] = "encoder/params/Conv_0/kernel"
+    m["encoder.block.0.bias"] = "encoder/params/Conv_0/bias"
+    for b in range(n):
+        base_t = f"encoder.block.{b + 1}"
+        base_f = f"encoder/params/EncoderBlock_{b}"
+        for r in range(3):
+            res_unit(f"{base_t}.block.{r}", f"{base_f}/ResidualUnit_{r}")
+        m[f"{base_t}.block.3.alpha"] = (f"{base_f}/Snake_0/alpha", flat)
+        m[f"{base_t}.block.4.weight"] = f"{base_f}/Conv_0/kernel"
+        m[f"{base_t}.block.4.bias"] = f"{base_f}/Conv_0/bias"
+    m[f"encoder.block.{n + 1}.alpha"] = ("encoder/params/Snake_0/alpha", flat)
+    m[f"encoder.block.{n + 2}.weight"] = "encoder/params/Conv_1/kernel"
+    m[f"encoder.block.{n + 2}.bias"] = "encoder/params/Conv_1/bias"
+
+    # decoder: model.0 stem, model.{1..n} DecoderBlocks, Snake, conv out
+    m["decoder.model.0.weight"] = "decoder/params/Conv_0/kernel"
+    m["decoder.model.0.bias"] = "decoder/params/Conv_0/bias"
+    for b in range(n):
+        base_t = f"decoder.model.{b + 1}"
+        base_f = f"decoder/params/DecoderBlock_{b}"
+        m[f"{base_t}.block.0.alpha"] = (f"{base_f}/Snake_0/alpha", flat)
+        m[f"{base_t}.block.1.weight"] = (f"{base_f}/ConvTranspose_0/kernel",
+                                         (2, 0, 1))     # torch [in,out,k]
+        m[f"{base_t}.block.1.bias"] = f"{base_f}/ConvTranspose_0/bias"
+        for r in range(3):
+            res_unit(f"{base_t}.block.{r + 2}", f"{base_f}/ResidualUnit_{r}")
+    m[f"decoder.model.{n + 1}.alpha"] = ("decoder/params/Snake_0/alpha", flat)
+    m[f"decoder.model.{n + 2}.weight"] = "decoder/params/Conv_1/kernel"
+    m[f"decoder.model.{n + 2}.bias"] = "decoder/params/Conv_1/bias"
+
+    # residual VQ
+    for q in range(cfg.n_codebooks):
+        base = f"quantizer.quantizers.{q}"
+        m[f"{base}.in_proj.weight"] = (f"rvq/params/proj_in_{q}/kernel", px)
+        m[f"{base}.in_proj.bias"] = f"rvq/params/proj_in_{q}/bias"
+        m[f"{base}.out_proj.weight"] = (f"rvq/params/proj_out_{q}/kernel", px)
+        m[f"{base}.out_proj.bias"] = f"rvq/params/proj_out_{q}/bias"
+        m[f"{base}.codebook.weight"] = f"rvq/params/codebook_{q}"
+    return m.get

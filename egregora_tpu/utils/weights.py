@@ -162,7 +162,9 @@ def convert_state_dict(torch_sd: Dict[str, np.ndarray], target_tree: Any,
         want = tuple(remaining[fk].shape)
         v = tv
         if v.shape != want:
-            if perm_override is not None:
+            if callable(perm_override):        # arbitrary layout transform
+                v = np.asarray(perm_override(v))
+            elif perm_override is not None:
                 v = np.transpose(v, perm_override)
             elif transpose_linear:
                 if v.ndim == 2 and v.T.shape == want:

@@ -57,7 +57,10 @@ def test_flashsr_process_end_to_end(tiny_pipe):
     from egregora_tpu.core.audio import AudioBuffer
     x = np.random.default_rng(0).standard_normal((2, CHUNK_SAMPLES // 3)).astype(np.float32) * 0.1
     buf = AudioBuffer(jnp.asarray(x), 24000, {})
-    out = tiny_pipe.process(buf, output_sr=44100)
+    # mesh=None: the 8-virtual-device auto-mesh path is covered by
+    # test_flashsr_process_mesh_matches_single; padding 1 chunk to 8
+    # here would 8x this test's cost for no extra coverage
+    out = tiny_pipe.process(buf, output_sr=44100, mesh=None)
     assert out.sample_rate == 44100
     # 24k -> 48k doubles, 48->44.1 scales by 0.91875
     expect = int(np.ceil(x.shape[1] * 2 * 44100 / 48000))

@@ -210,3 +210,51 @@ def test_dfn2_checkpoint_layout_loads():
     out = convert_state_dict(sd, target, name_map=raw.get)
     got = {k: np.asarray(v) for k, v in _flatten(out).items()}
     assert set(got) == set(flat)
+
+
+def test_dac_checkpoint_layout_loads():
+    """descript-audio-codec naming (encoder.block.* Sequential indices,
+    decoder.model.*, quantizer.quantizers.{q}) loads through
+    dac_name_map, incl. [1,C,1] Snake alphas and 1x1-conv projections."""
+    from egregora_tpu.models.dac.model import DACConfig, DACModel, dac_name_map
+    from egregora_tpu.utils.weights import _flatten
+
+    cfg = DACConfig(encoder_dim=8, strides=(2, 4), decoder_dim=64, n_codebooks=2)
+    target = DACModel(cfg).init_params(0)
+    flat = _flatten(target)
+    nm = dac_name_map(cfg)
+    raw = nm.__self__
+    assert set(p[0] if isinstance(p, tuple) else p for p in raw.values()) == set(flat), (
+        sorted(set(flat) - set(p[0] if isinstance(p, tuple) else p for p in raw.values()))[:5])
+
+    rng = np.random.default_rng(11)
+    sd = {}
+    for tk, fk in raw.items():
+        tr = None
+        if isinstance(fk, tuple):
+            fk, tr = fk
+        w = rng.standard_normal(flat[fk].shape).astype(np.float32)
+        if callable(tr):
+            if tk.endswith("alpha"):
+                sd[tk] = w.reshape(1, -1, 1)         # Snake1d layout
+            else:
+                sd[tk] = w.T[:, :, None]             # 1x1 WNConv1d layout
+        elif tr is not None:
+            sd[tk] = np.transpose(w, np.argsort(tr))
+        elif tk.endswith("codebook.weight"):
+            sd[tk] = w                               # Embedding: [K, d] direct
+        elif w.ndim == 2 and tk.endswith("weight"):
+            sd[tk] = w.T
+        elif w.ndim >= 3 and tk.endswith("weight"):
+            sd[tk] = np.transpose(w, np.argsort(tuple(range(2, w.ndim)) + (1, 0)))
+        else:
+            sd[tk] = w
+
+    out = convert_state_dict(sd, target, name_map=nm)
+    got = {k: np.asarray(v) for k, v in _flatten(out).items()}
+    assert set(got) == set(flat)
+    np.testing.assert_array_equal(
+        got["rvq/params/codebook_0"], sd["quantizer.quantizers.0.codebook.weight"])
+    np.testing.assert_array_equal(
+        got["encoder/params/EncoderBlock_0/Snake_0/alpha"],
+        sd["encoder.block.1.block.3.alpha"].reshape(-1))
