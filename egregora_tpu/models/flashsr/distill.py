@@ -42,7 +42,8 @@ def distilled_config() -> FlashSRConfig:
     layout real converted checkpoints load into."""
     return FlashSRConfig(
         vae=VAEConfig(base_channels=24, channel_mults=(1, 2, 4), latent_channels=16,
-                      num_res_blocks=1, groups=8),
+                      num_res_blocks=1, groups=8, mid_attn=False,
+                      use_quant_conv=False),
         unet=UNetConfig(in_channels=32, out_channels=16, base_channels=48,
                         channel_mults=(1, 2), num_res_blocks=1, attn_levels=(),
                         num_heads=4, time_dim=128, groups=8),

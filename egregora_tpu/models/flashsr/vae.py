@@ -7,8 +7,11 @@ the log-mel "image" ``[B, frames, mels, 1]`` with 4x spatial
 downsampling into a ``latent_channels``-deep latent.
 
 TPU-first choices: NHWC layout (native conv layout on TPU), GroupNorm +
-SiLU, bf16-friendly (params f32, activations castable), no attention in
-the autoencoder (keeps the chunk batch fully conv-parallel on the MXU).
+SiLU, bf16-friendly (params f32, activations castable).  The upstream
+mid-block attention pair runs as exact query-chunked attention so the
+[N, N] score matrix (N = 8192 tokens at the full config's bottleneck)
+never materializes — each query block sees its full score row, so the
+softmax is exact, and every matmul lands on the MXU.
 """
 from __future__ import annotations
 
@@ -31,6 +34,12 @@ class VAEConfig:
     num_res_blocks: int = 2
     groups: int = 32
     scaling_factor: float = 0.18215  # latent scale, AudioLDM lineage
+    # Upstream AutoencoderKL structure (what the real ``vae.pth``
+    # contains): ResBlock/Attn/ResBlock mid pair in both coders plus the
+    # 1x1 (post_)quant convs.  The compact distilled config turns both
+    # off (attention-free trains/extrapolates better at small scale).
+    mid_attn: bool = True
+    use_quant_conv: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
 
@@ -52,12 +61,57 @@ class ResBlock(nn.Module):
         return x + h
 
 
+def _chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                       block: int = 256) -> jnp.ndarray:
+    """Exact single-head attention ``[B, N, C]`` with query chunking.
+
+    Each query block's full score row [block, N] is materialized (so the
+    softmax is exact, no online rescaling) but never the [N, N] matrix;
+    ``lax.map`` serializes blocks so the transient is O(B*block*N)."""
+    b, n, c = q.shape
+    scale = c ** -0.5
+    nb = -(-n // block)
+    qp = jnp.pad(q * scale, ((0, 0), (0, nb * block - n), (0, 0)))
+    qp = qp.reshape(b, nb, block, c).swapaxes(0, 1)       # [nb, B, block, C]
+
+    def one(qblk):
+        s = jnp.einsum("bqc,bkc->bqk", qblk, k,
+                       preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+        return jnp.einsum("bqk,bkc->bqc", w, v)
+
+    out = jax.lax.map(one, qp)                            # [nb, B, block, C]
+    return out.swapaxes(0, 1).reshape(b, nb * block, c)[:, :n]
+
+
+class AttnBlock2D(nn.Module):
+    """Upstream AutoencoderKL ``mid.attn_1``: GroupNorm -> 1x1 q/k/v ->
+    single-head attention over the flattened token grid -> 1x1 proj_out,
+    residual.  Submodules are named q/k/v/proj_out so the checkpoint
+    name map is positional-index-free."""
+    groups: int = 32
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, m, c = x.shape
+        h = nn.GroupNorm(num_groups=min(self.groups, c), dtype=jnp.float32)(x)
+        h = h.astype(self.dtype)
+        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(h)
+        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(h)
+        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h)
+        o = _chunked_attention(q.reshape(b, f * m, c), k.reshape(b, f * m, c),
+                               v.reshape(b, f * m, c))
+        o = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(o.reshape(b, f, m, c))
+        return x + o
+
+
 class Encoder(nn.Module):
     cfg: VAEConfig
 
     @nn.compact
     def __call__(self, x):
-        """``[B, F, M, 1] -> (mean, logvar)`` each ``[B, F/4, M/4, Z]``."""
+        """``[B, F, M, 1] -> moments [B, F/4, M/4, 2Z]`` (mean ++ logvar)."""
         c = self.cfg
         h = nn.Conv(c.base_channels, (3, 3), dtype=c.dtype)(x)
         for i, mult in enumerate(c.channel_mults):
@@ -66,11 +120,14 @@ class Encoder(nn.Module):
                 h = ResBlock(ch, c.groups, c.dtype)(h)
             if i < len(c.channel_mults) - 1:
                 h = nn.Conv(ch, (3, 3), strides=(2, 2), dtype=c.dtype)(h)
+        if c.mid_attn:
+            ch = c.base_channels * c.channel_mults[-1]
+            h = ResBlock(ch, c.groups, c.dtype)(h)
+            h = AttnBlock2D(c.groups, c.dtype)(h)
+            h = ResBlock(ch, c.groups, c.dtype)(h)
         h = nn.GroupNorm(num_groups=c.groups, dtype=jnp.float32)(h)
         h = nn.silu(h)
-        h = nn.Conv(2 * c.latent_channels, (3, 3), dtype=c.dtype)(h)
-        mean, logvar = jnp.split(h.astype(jnp.float32), 2, axis=-1)
-        return mean, jnp.clip(logvar, -30.0, 20.0)
+        return nn.Conv(2 * c.latent_channels, (3, 3), dtype=c.dtype)(h)
 
 
 class Decoder(nn.Module):
@@ -82,6 +139,11 @@ class Decoder(nn.Module):
         c = self.cfg
         mults = tuple(reversed(c.channel_mults))
         h = nn.Conv(c.base_channels * mults[0], (3, 3), dtype=c.dtype)(z)
+        if c.mid_attn:
+            ch = c.base_channels * mults[0]
+            h = ResBlock(ch, c.groups, c.dtype)(h)
+            h = AttnBlock2D(c.groups, c.dtype)(h)
+            h = ResBlock(ch, c.groups, c.dtype)(h)
         for i, mult in enumerate(mults):
             ch = c.base_channels * mult
             for _ in range(c.num_res_blocks):
@@ -102,13 +164,29 @@ class MelVAE(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.cfg)
         self.decoder = Decoder(self.cfg)
+        if self.cfg.use_quant_conv:
+            self.quant_conv = nn.Conv(2 * self.cfg.latent_channels, (1, 1),
+                                      dtype=self.cfg.dtype)
+            self.post_quant_conv = nn.Conv(self.cfg.latent_channels, (1, 1),
+                                           dtype=self.cfg.dtype)
+
+    def moments(self, mel_img):
+        """``(mean, logvar)`` each ``[B, F/4, M/4, Z]`` (unscaled)."""
+        h = self.encoder(mel_img)
+        if self.cfg.use_quant_conv:
+            h = self.quant_conv(h)
+        mean, logvar = jnp.split(h.astype(jnp.float32), 2, axis=-1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
 
     def encode(self, mel_img):
-        mean, logvar = self.encoder(mel_img)
+        mean, _ = self.moments(mel_img)
         return mean * self.cfg.scaling_factor
 
     def decode(self, z):
-        return self.decoder(z / self.cfg.scaling_factor)
+        z = z / self.cfg.scaling_factor
+        if self.cfg.use_quant_conv:
+            z = self.post_quant_conv(z)
+        return self.decoder(z)
 
     def __call__(self, mel_img):
         return self.decode(self.encode(mel_img))
@@ -119,15 +197,23 @@ def audioldm_vae_name_map(cfg: VAEConfig = VAEConfig()):
     / ``decoder.up.*``, the layout FlashSR's ``vae.pth`` descends from)
     -> MelVAE tree paths.
 
-    Covers the layers this architecture shares (conv_in, per-level res
-    blocks with nin_shortcut, down/upsample convs, norm_out, conv_out);
-    upstream-only extras (mid attention) are dropped by the converter.
-    Note the SD decoder indexing quirk: ``up.{u}`` lists levels in
-    REVERSE application order, so u = L-1-i for our i-th applied level.
+    Covers the full upstream structure: conv_in, per-level res blocks
+    with nin_shortcut, down/upsample convs, the mid ResBlock/Attn/
+    ResBlock pair (when ``cfg.mid_attn``), norm_out, conv_out, and the
+    (post_)quant 1x1 convs (when ``cfg.use_quant_conv``).  Note the SD
+    decoder indexing quirk: ``up.{u}`` lists levels in REVERSE
+    application order, so u = L-1-i for our i-th applied level.
     """
     L = len(cfg.channel_mults)
     R = cfg.num_res_blocks
     m = {}
+
+    def attn_block(prefix_t, path_f):
+        m[f"{prefix_t}.norm.weight"] = f"{path_f}/GroupNorm_0/scale"
+        m[f"{prefix_t}.norm.bias"] = f"{path_f}/GroupNorm_0/bias"
+        for lin in ("q", "k", "v", "proj_out"):
+            m[f"{prefix_t}.{lin}.weight"] = f"{path_f}/{lin}/kernel"
+            m[f"{prefix_t}.{lin}.bias"] = f"{path_f}/{lin}/bias"
 
     def res_block(prefix_t, path_f, has_shortcut):
         m[f"{prefix_t}.norm1.weight"] = f"{path_f}/GroupNorm_0/scale"
@@ -154,6 +240,10 @@ def audioldm_vae_name_map(cfg: VAEConfig = VAEConfig()):
         if i < L - 1:
             m[f"encoder.down.{i}.downsample.conv.weight"] = f"params/encoder/Conv_{i + 1}/kernel"
             m[f"encoder.down.{i}.downsample.conv.bias"] = f"params/encoder/Conv_{i + 1}/bias"
+    if cfg.mid_attn:
+        res_block("encoder.mid.block_1", f"params/encoder/ResBlock_{L * R}", False)
+        attn_block("encoder.mid.attn_1", "params/encoder/AttnBlock2D_0")
+        res_block("encoder.mid.block_2", f"params/encoder/ResBlock_{L * R + 1}", False)
     m["encoder.norm_out.weight"] = "params/encoder/GroupNorm_0/scale"
     m["encoder.norm_out.bias"] = "params/encoder/GroupNorm_0/bias"
     m["encoder.conv_out.weight"] = f"params/encoder/Conv_{L}/kernel"
@@ -163,13 +253,19 @@ def audioldm_vae_name_map(cfg: VAEConfig = VAEConfig()):
     mults = tuple(reversed(cfg.channel_mults))
     m["decoder.conv_in.weight"] = "params/decoder/Conv_0/kernel"
     m["decoder.conv_in.bias"] = "params/decoder/Conv_0/bias"
+    off = 0
+    if cfg.mid_attn:
+        res_block("decoder.mid.block_1", "params/decoder/ResBlock_0", False)
+        attn_block("decoder.mid.attn_1", "params/decoder/AttnBlock2D_0")
+        res_block("decoder.mid.block_2", "params/decoder/ResBlock_1", False)
+        off = 2
     for i in range(L):
         u = L - 1 - i
         ch_in = mults[i - 1] if i else mults[0]
         for j in range(R):
             shortcut = (j == 0 and mults[i] != ch_in)
             res_block(f"decoder.up.{u}.block.{j}",
-                      f"params/decoder/ResBlock_{i * R + j}", shortcut)
+                      f"params/decoder/ResBlock_{off + i * R + j}", shortcut)
         if i < L - 1:
             m[f"decoder.up.{u}.upsample.conv.weight"] = f"params/decoder/Conv_{i + 1}/kernel"
             m[f"decoder.up.{u}.upsample.conv.bias"] = f"params/decoder/Conv_{i + 1}/bias"
@@ -177,4 +273,9 @@ def audioldm_vae_name_map(cfg: VAEConfig = VAEConfig()):
     m["decoder.norm_out.bias"] = "params/decoder/GroupNorm_0/bias"
     m["decoder.conv_out.weight"] = f"params/decoder/Conv_{L}/kernel"
     m["decoder.conv_out.bias"] = f"params/decoder/Conv_{L}/bias"
+    if cfg.use_quant_conv:
+        m["quant_conv.weight"] = "params/quant_conv/kernel"
+        m["quant_conv.bias"] = "params/quant_conv/bias"
+        m["post_quant_conv.weight"] = "params/post_quant_conv/kernel"
+        m["post_quant_conv.bias"] = "params/post_quant_conv/bias"
     return m.get

@@ -225,13 +225,22 @@ def ensure_flashsr_weights(modules, seed: int = 0, ckpt_dir: Optional[Path] = No
         return load_params(cache)
     missing = missing_flashsr_files(d)
     if not missing:
+        from ..models.flashsr.vae import audioldm_vae_name_map
+        from ..models.flashsr.vocoder import hifigan_name_map
         params = modules.init_params(seed)
+        # per-checkpoint upstream name maps (layout-tested against
+        # synthetic state dicts in the documented upstream conventions);
+        # student_ldm falls back to suffix/shape matching
+        maps = {"vae": audioldm_vae_name_map(modules.cfg.vae),
+                "sr_vocoder": hifigan_name_map(modules.cfg.vocoder),
+                "student_ldm": None}
         converted = {}
         for name, fname in (("student_ldm", "student_ldm.pth"),
                             ("sr_vocoder", "sr_vocoder.pth"),
                             ("vae", "vae.pth")):
             sd = load_torch_state_dict(d / fname)
-            converted[name] = convert_state_dict(sd, params[name])
+            converted[name] = convert_state_dict(sd, params[name],
+                                                 name_map=maps[name])
         save_params(converted, cache)
         return converted
     print(f"[egregora_tpu] FlashSR weights not found in {d} (missing: "

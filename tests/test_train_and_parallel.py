@@ -18,7 +18,8 @@ def tiny_setup():
     hop, n_mels = 64, 32
     cfg = FlashSRConfig(
         vae=VAEConfig(base_channels=8, channel_mults=(1, 2, 2), latent_channels=4,
-                      num_res_blocks=1, groups=4),
+                      num_res_blocks=1, groups=4, mid_attn=False,
+                      use_quant_conv=False),
         unet=UNetConfig(in_channels=8, out_channels=4, base_channels=8,
                         channel_mults=(1, 2), num_res_blocks=1, attn_levels=(1,),
                         num_heads=2, time_dim=16, groups=4),

@@ -179,7 +179,7 @@ def test_audioldm_vae_checkpoint_layout_loads():
         sorted(set(raw.values()) - set(flat))[:5])
     rng = np.random.default_rng(8)
     sd = _synthetic_torch_sd(raw, flat, rng)
-    sd["encoder.mid.attn_1.q.weight"] = np.zeros((8, 8, 1, 1), np.float32)  # dropped
+    sd["loss.logvar"] = np.zeros((1,), np.float32)  # upstream-only extra, dropped
 
     out = convert_state_dict(sd, target, name_map=nm)
     got = {k: np.asarray(v) for k, v in _flatten(out).items()}
