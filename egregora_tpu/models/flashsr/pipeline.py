@@ -32,6 +32,7 @@ import numpy as np
 from ...core.audio import AudioBuffer
 from ...ops.resample import resample
 from ...ops.wola import chunk_batch, wola_stitch
+from .ldm_unet import LDMUNet, LDMUNetConfig
 from .mel import HOP, N_MELS, SAMPLE_RATE, log_mel
 from .unet import StudentUNet, UNetConfig
 from .vae import MelVAE, VAEConfig
@@ -48,7 +49,10 @@ MEL_FRAMES = CHUNK_SAMPLES // HOP      # 512 frames per chunk
 @dataclasses.dataclass(frozen=True)
 class FlashSRConfig:
     vae: VAEConfig = VAEConfig()
-    unet: UNetConfig = UNetConfig()
+    # default = the upstream UNetModel layout (what student_ldm.pth
+    # converts into); the compact distilled config passes a UNetConfig
+    # and gets the attention-free StudentUNet instead
+    unet: object = LDMUNetConfig()
     vocoder: VocoderConfig = VocoderConfig()
     crossover_hz: float = 11000.0   # low-band preservation crossover
     noise_seed: int = 0             # deterministic one-step noise latent
@@ -60,7 +64,8 @@ class FlashSRModules:
     def __init__(self, cfg: FlashSRConfig = FlashSRConfig()):
         self.cfg = cfg
         self.vae = MelVAE(cfg.vae)
-        self.unet = StudentUNet(cfg.unet)
+        self.unet = (LDMUNet(cfg.unet) if isinstance(cfg.unet, LDMUNetConfig)
+                     else StudentUNet(cfg.unet))
         self.vocoder = SRVocoder(cfg.vocoder)
 
     def init_params(self, seed: int = 0) -> dict:

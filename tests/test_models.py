@@ -24,6 +24,27 @@ def tiny_pipe():
     return FlashSRPipeline(cfg, seed=0)
 
 
+def test_flashsr_ldm_unet_pipeline_forward():
+    """The default (upstream LDM UNet) architecture runs the chunk
+    forward end to end: FlashSRModules picks LDMUNet for LDMUNetConfig."""
+    from egregora_tpu.models.flashsr.ldm_unet import LDMUNet, LDMUNetConfig
+    cfg = FlashSRConfig(
+        vae=VAEConfig(base_channels=8, channel_mults=(1, 2, 2), latent_channels=4,
+                      num_res_blocks=1, groups=4, mid_attn=False,
+                      use_quant_conv=False),
+        unet=LDMUNetConfig(in_channels=8, out_channels=4, model_channels=8,
+                           channel_mult=(1, 2), num_res_blocks=1,
+                           attention_resolutions=(2,), num_heads=2, groups=4),
+        vocoder=VocoderConfig(upsample_initial=16, channel_floor=8),
+    )
+    pipe = FlashSRPipeline(cfg, seed=0)
+    assert isinstance(pipe.modules.unet, LDMUNet)
+    x = jnp.zeros((1, CHUNK_SAMPLES), jnp.float32)
+    y = pipe._jit_forward(pipe.params, x, lowpass_input=False)
+    assert y.shape == (1, CHUNK_SAMPLES)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
 def test_flashsr_constants_match_reference():
     # egregora_audio_super_resolution.py:255-258, 401
     assert CHUNK_SAMPLES == 245760

@@ -189,6 +189,54 @@ def test_audioldm_vae_checkpoint_layout_loads():
         sd["encoder.down.0.block.0.norm1.weight"])
 
 
+def test_ldm_unet_checkpoint_layout_loads():
+    """CompVis UNetModel naming (time_embed.{0,2} / input_blocks.N.M
+    in_layers/emb_layers/out_layers/skip_connection / AttentionBlock
+    norm/qkv/proj_out / Downsample op / Upsample conv / out.{0,2})
+    fully loads into the LDMUNet tree, and the converted params run."""
+    import jax as _jax
+    import jax.numpy as _jnp
+    from egregora_tpu.models.flashsr.ldm_unet import (LDMUNet, LDMUNetConfig,
+                                                      ldm_unet_name_map)
+    from egregora_tpu.utils.weights import _flatten
+
+    cfg = LDMUNetConfig(in_channels=8, out_channels=4, model_channels=8,
+                        channel_mult=(1, 2, 4), num_res_blocks=2,
+                        attention_resolutions=(2, 4), num_heads=2, groups=4)
+    unet = LDMUNet(cfg)
+    z = _jnp.zeros((1, 16, 8, 8))
+    target = unet.init(_jax.random.PRNGKey(0), z, _jnp.zeros((1,)))
+    flat = _flatten(target)
+
+    nm = ldm_unet_name_map(cfg)
+    raw = nm.__self__
+    flax_paths = set(p[0] if isinstance(p, tuple) else p for p in raw.values())
+    assert flax_paths == set(flat), (
+        sorted(set(flat) - flax_paths)[:6], sorted(flax_paths - set(flat))[:6])
+    rng = np.random.default_rng(12)
+    sd = {}
+    for tk, fk in raw.items():
+        tr = None
+        if isinstance(fk, tuple):
+            fk, tr = fk
+        w = rng.standard_normal(flat[fk].shape).astype(np.float32)
+        if callable(tr):        # dense_t: Linear [out,in] or conv1d [out,in,1]
+            sd[tk] = (w.T[:, :, None]
+                      if ("qkv" in tk or "proj_out" in tk) else w.T)
+        elif w.ndim >= 3 and tk.endswith("weight"):
+            sd[tk] = np.transpose(w, np.argsort(tuple(range(2, w.ndim)) + (1, 0)))
+        elif w.ndim == 2 and tk.endswith("weight"):
+            sd[tk] = w.T
+        else:
+            sd[tk] = w
+    out = convert_state_dict(sd, target, name_map=nm)
+    got = {k: np.asarray(v) for k, v in _flatten(out).items()}
+    assert set(got) == set(flat)
+    y = unet.apply(out, z, _jnp.ones((1,)))
+    assert y.shape == (1, 16, 8, 4)
+    assert np.isfinite(np.asarray(y)).all()
+
+
 def test_dfn2_checkpoint_layout_loads():
     """DFN2-style torch names (enc.erb_convN / emb_gru.gru_i / df_dec)
     load into the DFN param tree through DF_NAME_MAP."""
