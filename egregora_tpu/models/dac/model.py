@@ -150,7 +150,12 @@ class DACDecoder(nn.Module):
             ch //= 2
             h = DecoderBlock(ch, s, c.dtype)(h)
         h = Snake(ch)(h)
-        h = nn.Conv(1, (7,), dtype=c.dtype)(h)
+        # zero-init: the un-weight-normed Snake stack reaches this layer
+        # with std ~14, which saturates tanh at any reasonable kernel
+        # scale and kills training gradients; init only (converted real
+        # checkpoints overwrite it)
+        h = nn.Conv(1, (7,), kernel_init=nn.initializers.zeros,
+                    dtype=c.dtype)(h)
         return jnp.tanh(h.astype(jnp.float32))[..., 0]
 
 
@@ -159,12 +164,20 @@ class ResidualVQ(nn.Module):
     cfg: DACConfig
 
     @nn.compact
-    def __call__(self, z):
-        """``[B, T, D] -> (z_q [B, T, D], codes [B, n_q, T])``."""
+    def __call__(self, z, with_losses: bool = False):
+        """``[B, T, D] -> (z_q [B, T, D], codes [B, n_q, T])``.
+
+        ``with_losses=True`` (training) additionally returns
+        ``(commit, codebook)``: the VQ-VAE commitment loss (pulls the
+        encoder toward its quantized projection) and the codebook loss
+        (pulls codebook entries toward the encoder projections), both in
+        the per-stage projected space — the straight-through estimator's
+        standard companion terms."""
         c = self.cfg
         residual = z
         z_q = jnp.zeros_like(z)
         codes = []
+        commit = codebook_loss = 0.0
         for i in range(c.n_codebooks):
             proj_in = nn.Dense(c.codebook_dim, name=f"proj_in_{i}",
                                dtype=jnp.float32)
@@ -177,10 +190,25 @@ class ResidualVQ(nn.Module):
                   - 2.0 * r @ book.T
                   + jnp.sum(book ** 2, -1)[None, None, :])      # [B, T, K]
             idx = jnp.argmin(d2, axis=-1)                       # [B, T]
-            q = proj_out(book[idx])                             # [B, T, D]
+            q_r = book[idx]                                     # [B, T, d]
+            if with_losses:
+                # scale-invariant: the un-weight-normed encoder's output
+                # magnitude is init-dependent; normalizing by sg(E[r^2])
+                # keeps these terms O(1) at any scale
+                denom = jax.lax.stop_gradient(jnp.mean(jnp.square(r))) + 1e-6
+                commit = commit + jnp.mean(
+                    jnp.square(r - jax.lax.stop_gradient(q_r))) / denom
+                codebook_loss = codebook_loss + jnp.mean(
+                    jnp.square(jax.lax.stop_gradient(r) - q_r)) / denom
+                # straight-through in projected space so decoder grads
+                # reach proj_in/encoder through the quantizer
+                q_r = r + jax.lax.stop_gradient(q_r - r)
+            q = proj_out(q_r)                                   # [B, T, D]
             z_q = z_q + q
             residual = residual - q
             codes.append(idx)
+        if with_losses:
+            return z_q, jnp.stack(codes, axis=1), commit, codebook_loss
         return z_q, jnp.stack(codes, axis=1)
 
 
@@ -243,10 +271,16 @@ def build_dac(model_type: str = "44khz", seed: int = 0):
         model = DACModel(cfg)
         from ...utils.weights import load_params, save_params, weights_dir
         cache = weights_dir() / f"dac_{model_type}.npz"
-        if cache.exists():
+        if cache.exists():                 # converted real checkpoint
             params = load_params(cache)
         else:
-            params = model.init_params(seed)
+            from .train import load_pretrained
+            shipped = load_pretrained(model_type)
+            if shipped is not None:        # in-repo distilled compact codec
+                cfg, params = shipped
+                model = DACModel(cfg)
+            else:
+                params = model.init_params(seed)
         _CACHE[model_type] = (model, params, cfg.sample_rate)
     return _CACHE[model_type]
 

@@ -1,0 +1,153 @@
+"""DAC synthetic distillation — functional in-repo codec weights.
+
+The reference consumes upstream descript-audio-codec checkpoints
+(``egregora_audio_enhance_extras.py:750-857``: auto-download per
+model_type, encode to codes, decode back).  This environment has zero
+egress, so — exactly as for RNNoise/DFN/FlashSR — a compact DAC is
+trained here on synthetic music-like audio and shipped as
+``pretrained_44khz.npz``; real converted checkpoints (``dac_name_map``)
+always take precedence in ``build_dac``.
+
+Objective: VQ-VAE with straight-through residual quantization —
+multi-scale log-STFT + waveform L2 reconstruction, plus the standard
+commitment/codebook terms from ``ResidualVQ(with_losses=True)``.
+"""
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .model import DACConfig, DACModel
+
+PRETRAINED = {"44khz": Path(__file__).parent / "pretrained_44khz.npz"}
+
+
+def distilled_config(model_type: str = "44khz") -> DACConfig:
+    """Compact trio of the upstream 44 kHz structure (same strides ->
+    same hop/code rate, fewer channels/codebooks)."""
+    assert model_type == "44khz", "shipped distilled weights are 44khz-only"
+    return DACConfig(sample_rate=44100, encoder_dim=16, strides=(2, 4, 8, 8),
+                     decoder_dim=256, n_codebooks=4, codebook_size=512,
+                     codebook_dim=8)
+
+
+def _stft_l2(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    from ...ops.stft import stft_conv
+    total = 0.0
+    for n_fft, hop in ((512, 128), (2048, 512)):
+        rx, ix = stft_conv(x, n_fft, hop, window="hann_periodic")
+        ry, iy = stft_conv(y, n_fft, hop, window="hann_periodic")
+        mx = jnp.sqrt(rx * rx + ix * ix + 1e-9)
+        my = jnp.sqrt(ry * ry + iy * iy + 1e-9)
+        # spectral convergence (scale-normalized) + log-mag L1 — the
+        # standard multi-resolution pair; an unnormalized linear-mag L2
+        # is dominated by tonal peak bins and destabilizes training
+        total = total + jnp.sum(jnp.square(mx - my)) / (jnp.sum(jnp.square(my)) + 1e-9)
+        total = total + jnp.mean(jnp.abs(jnp.log(mx) - jnp.log(my)))
+    return total
+
+
+def loss_fn(model: DACModel, params: dict, wav: jnp.ndarray) -> jnp.ndarray:
+    """``wav [B, T]`` -> scalar.  Encoder/RVQ-ST/decoder roundtrip."""
+    z = model.encoder.apply(params["encoder"], wav[..., None])
+    z_q, _, commit, codebook = model.rvq.apply(params["rvq"], z,
+                                               with_losses=True)
+    rec = model.decoder.apply(params["decoder"], z_q)[:, : wav.shape[-1]]
+    wave_l2 = jnp.mean(jnp.square(rec - wav))
+    return 20.0 * wave_l2 + _stft_l2(rec, wav) + 0.25 * commit + codebook
+
+
+def make_train_step(model: DACModel, tx: optax.GradientTransformation):
+    @jax.jit
+    def step(params, opt_state, wav):
+        loss, grads = jax.value_and_grad(
+            functools.partial(loss_fn, model))(params, wav)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def train(cfg: DACConfig = None, steps: int = 2000, batch: int = 8,
+          length: int = 16384, lr: float = 3e-4, seed: int = 0,
+          log_every: int = 100):
+    """Returns trained params (and the loss curve tail for gating)."""
+    from ..flashsr.distill import synth_pair_batch
+
+    cfg = cfg or distilled_config()
+    model = DACModel(cfg)
+    params = model.init_params(seed)
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(optax.cosine_decay_schedule(lr, steps, 0.1),
+                    weight_decay=1e-5))
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx)
+    key = jax.random.PRNGKey(seed + 1)
+    last = None
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        _, hr = synth_pair_batch(k, batch, length, sr=cfg.sample_rate)
+        params, opt_state, loss = step(params, opt_state, hr)
+        if log_every and (i % log_every == 0 or i == steps - 1):
+            last = float(loss)
+            print(f"[dac-distill] step {i} loss {last:.4f}", flush=True)
+    return model, params
+
+
+def save_pretrained(params, path: Path) -> None:
+    from ...utils.weights import _flatten
+    flat = {k: np.asarray(v, np.float16) for k, v in _flatten(params).items()}
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **flat)
+
+
+def load_pretrained(model_type: str = "44khz"):
+    """(config, params) for the shipped compact codec, or None."""
+    path = PRETRAINED.get(model_type)
+    if path is None or not path.exists():
+        return None
+    from ...utils.weights import _unflatten
+    with np.load(path) as z:
+        params = _unflatten({k: z[k].astype(np.float32) for k in z.files})
+    return distilled_config(model_type), params
+
+
+def roundtrip_snr_db(model: DACModel, params, wav: np.ndarray) -> float:
+    """Codec roundtrip SNR on ``[C, T]`` — the quality-gate metric."""
+    x = jnp.asarray(wav, jnp.float32)
+    z_q, _ = model.encode(params, x)
+    rec = np.asarray(model.decode(params, z_q))[:, : wav.shape[-1]]
+    err = np.mean(np.square(rec - np.asarray(wav)))
+    sig = np.mean(np.square(np.asarray(wav))) + 1e-12
+    return float(10.0 * np.log10(sig / (err + 1e-12)))
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Distill compact DAC weights")
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--length", type=int, default=16384)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    a = ap.parse_args()
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    print("devices:", jax.devices(), flush=True)
+    model, params = train(steps=a.steps, batch=a.batch, length=a.length,
+                          lr=a.lr, seed=a.seed)
+    from ..flashsr.distill import synth_pair_batch
+    _, hr = synth_pair_batch(jax.random.PRNGKey(99), 4, 44100)
+    snr = roundtrip_snr_db(model, params, np.asarray(hr))
+    print(f"[dac-distill] held-out roundtrip SNR {snr:.2f} dB", flush=True)
+    save_pretrained(params, PRETRAINED["44khz"])
+    print(f"[dac-distill] wrote {PRETRAINED['44khz']}", flush=True)

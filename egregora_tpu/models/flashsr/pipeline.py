@@ -31,7 +31,7 @@ import numpy as np
 
 from ...core.audio import AudioBuffer
 from ...ops.resample import resample
-from ...ops.wola import chunk_batch, wola_stitch
+from ...ops.wola import chunk_batch, num_chunks, wola_stitch
 from .ldm_unet import LDMUNet, LDMUNetConfig
 from .mel import HOP, N_MELS, SAMPLE_RATE, log_mel
 from .unet import StudentUNet, UNetConfig
@@ -199,6 +199,50 @@ class FlashSRPipeline:
         from ...parallel.mesh import make_chunk_mesh
         return make_chunk_mesh(devs)
 
+    def _fused_process(self, mesh, lowpass_input: bool, in_sr: int, out_sr: int,
+                       pad_mult: int):
+        """ONE jitted program for the whole one-shot node path:
+        resample-in -> chunk -> batched forward -> WOLA stitch ->
+        resample-out.
+
+        Through a remote-TPU relay every dispatch costs ~50-60 ms fixed;
+        the previous eager glue (pad/gather/stitch/resample as separate
+        ops) spent more wall clock on round trips than on compute.  One
+        program = one dispatch, and XLA fuses the glue into the batch
+        pipeline.  Cached per (mesh, flags, rates); shapes recompile per
+        input length as usual.
+        """
+        if not hasattr(self, "_proc_cache"):
+            self._proc_cache = {}
+        key = (mesh, bool(lowpass_input), int(in_sr), int(out_sr), int(pad_mult))
+        fn = self._proc_cache.get(key)
+        if fn is not None:
+            return fn
+
+        def run(params, x):
+            if in_sr != REQ_SR:
+                x = resample(x, in_sr, REQ_SR)
+            c, total = x.shape
+            chunks, starts, lengths = chunk_batch(x, CHUNK_SAMPLES, HOP_SAMPLES,
+                                                  pad_to_multiple=pad_mult)
+            k = chunks.shape[0]
+            flat = chunks.reshape(k * c, CHUNK_SAMPLES)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                flat = jax.lax.with_sharding_constraint(
+                    flat, NamedSharding(mesh, P("chunk")))
+            preds = self.chunk_forward(params, flat,
+                                       lowpass_input=lowpass_input)
+            preds = preds.reshape(k, c, CHUNK_SAMPLES)
+            out = wola_stitch(preds, starts, lengths, total, CHUNK_SAMPLES)
+            if out_sr != REQ_SR:
+                out = resample(out, REQ_SR, out_sr)
+            return out
+
+        fn = jax.jit(run)
+        self._proc_cache[key] = fn
+        return fn
+
     # ---- full-file processing (node-facing) ----
     def process(self, audio: AudioBuffer, lowpass_input: bool = False,
                 output_sr: int = 48000, pad_to_multiple: int = 1,
@@ -215,45 +259,50 @@ class FlashSRPipeline:
         running Hann-weighted sums (O(batch) activations, O(total)
         accumulators); None processes everything in one batch.
         """
-        x = audio.samples
-        if audio.sample_rate != REQ_SR:
-            x = resample(x, audio.sample_rate, REQ_SR)
-        c, total = x.shape
-
+        in_sr = audio.sample_rate
         mesh = self._resolve_mesh(mesh)
         pad_mult = int(np.lcm(max(pad_to_multiple, 1), mesh.size)) if mesh else pad_to_multiple
+
+        # host-side span count at 48 kHz decides one-shot vs streaming
+        from ...ops.resample import resampled_length
+        total48 = resampled_length(audio.samples.shape[-1], in_sr, REQ_SR)
+        k = -(-num_chunks(total48, CHUNK_SAMPLES, HOP_SAMPLES) // pad_mult) * pad_mult
+
+        if max_batch is None or k <= max_batch:
+            fn = self._fused_process(mesh, lowpass_input, in_sr, int(output_sr),
+                                     pad_mult)
+            out = fn(self.params, audio.samples)
+            return AudioBuffer(out, int(output_sr), dict(audio.meta))
+
+        # streaming: fixed-shape batches through one compiled program,
+        # folded into running weighted sums (never O(total) activations)
+        x = audio.samples
+        if in_sr != REQ_SR:
+            x = resample(x, in_sr, REQ_SR)
+        c, total = x.shape
         chunks, starts, lengths = chunk_batch(x, CHUNK_SAMPLES, HOP_SAMPLES,
                                               pad_to_multiple=pad_mult)
         k = chunks.shape[0]
         fwd = self._forward_fn(mesh, lowpass_input)
-
-        if max_batch is None or k <= max_batch:
-            flat = chunks.reshape(k * c, CHUNK_SAMPLES)  # channels ride the batch
-            preds = fwd(self.params, flat).reshape(k, c, CHUNK_SAMPLES)
-            out = wola_stitch(preds, starts, lengths, total, CHUNK_SAMPLES)
-        else:
-            # streaming: fixed-shape batches through one compiled program,
-            # folded into running weighted sums (never O(total) activations)
-            b = int(max_batch)
-            if mesh:
-                b = -(-b // mesh.size) * mesh.size
-            acc = jnp.zeros((c, total), jnp.float32)
-            wsum = jnp.zeros((total,), jnp.float32)
-            for s0 in range(0, k, b):
-                batch = chunks[s0: s0 + b]
-                n_valid = batch.shape[0]
-                if n_valid < b:   # pad tail batch to the static shape
-                    batch = jnp.pad(batch, ((0, b - n_valid), (0, 0), (0, 0)))
-                flat = batch.reshape(b * c, CHUNK_SAMPLES)
-                pred = fwd(self.params, flat).reshape(b, c, CHUNK_SAMPLES)
-                st = np.zeros(b, np.int32)
-                ln = np.zeros(b, np.int32)   # padded rows: zero stitch weight
-                st[:n_valid] = starts[s0: s0 + b]
-                ln[:n_valid] = lengths[s0: s0 + b]
-                acc, wsum = self._jit_accumulate(pred, st, ln, acc, wsum)
-            from ...ops.wola import wola_finalize
-            out = wola_finalize(acc, wsum)
-
+        b = int(max_batch)
+        if mesh:
+            b = -(-b // mesh.size) * mesh.size
+        acc = jnp.zeros((c, total), jnp.float32)
+        wsum = jnp.zeros((total,), jnp.float32)
+        for s0 in range(0, k, b):
+            batch = chunks[s0: s0 + b]
+            n_valid = batch.shape[0]
+            if n_valid < b:   # pad tail batch to the static shape
+                batch = jnp.pad(batch, ((0, b - n_valid), (0, 0), (0, 0)))
+            flat = batch.reshape(b * c, CHUNK_SAMPLES)
+            pred = fwd(self.params, flat).reshape(b, c, CHUNK_SAMPLES)
+            st = np.zeros(b, np.int32)
+            ln = np.zeros(b, np.int32)   # padded rows: zero stitch weight
+            st[:n_valid] = starts[s0: s0 + b]
+            ln[:n_valid] = lengths[s0: s0 + b]
+            acc, wsum = self._jit_accumulate(pred, st, ln, acc, wsum)
+        from ...ops.wola import wola_finalize
+        out = wola_finalize(acc, wsum)
         if int(output_sr) != REQ_SR:
             out = resample(out, REQ_SR, int(output_sr))
         return AudioBuffer(out, int(output_sr), dict(audio.meta))

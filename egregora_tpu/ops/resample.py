@@ -72,6 +72,15 @@ def _block_matrix(up: int, down: int, width: int, rolloff: float, beta: float
     return mat, l, bout, m
 
 
+def resampled_length(n: int, src_sr: int, dst_sr: int) -> int:
+    """Output length of ``resample_poly`` for an ``n``-sample input."""
+    if int(src_sr) == int(dst_sr):
+        return int(n)
+    g = math.gcd(int(src_sr), int(dst_sr))
+    up, down = dst_sr // g, src_sr // g
+    return -(-int(n) * up // down)
+
+
 def resample_poly(x_cs: jnp.ndarray, src_sr: int, dst_sr: int, *,
                   width: int = DEFAULT_WIDTH, rolloff: float = DEFAULT_ROLLOFF,
                   beta: float = DEFAULT_BETA) -> jnp.ndarray:

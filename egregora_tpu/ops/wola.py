@@ -61,11 +61,12 @@ def chunk_batch(x_cs: jnp.ndarray, win: int, hop: int,
     for i, (s, l) in enumerate(spans):
         starts[i], lengths[i] = s, l
 
-    # Gather with right zero-padding: pad the signal by `win` so every
-    # start+win slice is in range, then take a strided gather.
-    x_pad = jnp.pad(x_cs, ((0, 0), (0, win)))
-    idx = jnp.asarray(starts)[:, None] + jnp.arange(win)[None, :]      # [K, win]
-    chunks = jnp.take(x_pad, idx, axis=1)                              # [C, K, win]
+    # Spans sit on the regular hop grid (starts[i] = i*hop by
+    # construction), so framing is gather-free strided slicing — an
+    # arbitrary-index jnp.take lowers scalar-slow on TPU.
+    from .stft import frame_strided
+    x_pad = jnp.pad(x_cs, ((0, 0), (0, (k_pad - 1) * hop + win - total)))
+    chunks = frame_strided(x_pad, win, hop)[:, :k_pad]                 # [C, K, win]
     chunks = jnp.swapaxes(chunks, 0, 1)                                # [K, C, win]
     # zero out samples beyond each span's valid length (incl. dummy chunks)
     mask = (jnp.arange(win)[None, :] < jnp.asarray(lengths)[:, None])  # [K, win]
@@ -110,6 +111,49 @@ def wola_finalize(acc: jnp.ndarray, wsum: jnp.ndarray) -> jnp.ndarray:
     return (acc / wsum[None, :]).astype(jnp.float32)
 
 
+def _regular_hop(starts: np.ndarray, win: int):
+    """The chunk grid's hop if ``starts`` is the regular ``i*hop`` grid
+    with ``win <= 2*hop`` (always true for ``chunk_batch`` output at the
+    FlashSR geometry), else None."""
+    s = np.asarray(starts)
+    if s.ndim != 1 or s.size == 0 or s[0] != 0:
+        return None
+    if s.size == 1:
+        return int(win)
+    hop = int(s[1] - s[0])
+    if hop <= 0 or win > 2 * hop:
+        return None
+    if not np.array_equal(s, np.arange(s.size, dtype=np.int64) * hop):
+        return None
+    return hop
+
+
+def _wola_dense(preds: jnp.ndarray, lengths: jnp.ndarray, hop: int,
+                total_len: int) -> jnp.ndarray:
+    """Scatter-free OLA for the regular grid: with ``win <= 2*hop`` each
+    output sample receives at most two chunks' contributions, so the
+    overlap-add decomposes into TWO dense shifted tracks (reshapes +
+    pads) — TPU scatter-add over arbitrary indices runs scalar-slow
+    (measured ~0.7 s of a 1.06 s fused FlashSR node program)."""
+    k, c, w = preds.shape
+    hann = jnp.asarray(hann_symmetric(w))
+    tap = jnp.arange(w)[None, :]
+    wgt = jnp.where(tap < jnp.asarray(lengths, jnp.int32)[:, None],
+                    hann[None, :], 0.0)                       # [K, w]
+    weighted = preds * wgt[:, None, :]                        # [K, C, w]
+
+    pad_w = 2 * hop - w
+    weighted = jnp.pad(weighted, ((0, 0), (0, 0), (0, pad_w)))
+    wgt2 = jnp.pad(wgt, ((0, 0), (0, pad_w)))
+    a, b = weighted[:, :, :hop], weighted[:, :, hop:]
+    ta = a.swapaxes(0, 1).reshape(c, k * hop)
+    tb = b.swapaxes(0, 1).reshape(c, k * hop)
+    acc = jnp.pad(ta, ((0, 0), (0, hop))) + jnp.pad(tb, ((0, 0), (hop, 0)))
+    wa, wb = wgt2[:, :hop].reshape(-1), wgt2[:, hop:].reshape(-1)
+    wsum = jnp.pad(wa, (0, hop)) + jnp.pad(wb, (hop, 0))
+    return wola_finalize(acc[:, :total_len], wsum[:total_len])
+
+
 def wola_stitch(preds: jnp.ndarray, starts: jnp.ndarray, lengths: jnp.ndarray,
                 total_len: int, win: int) -> jnp.ndarray:
     """Hann-weighted overlap-add of ``[K, C, win]`` chunk outputs -> ``[C, total]``.
@@ -118,8 +162,14 @@ def wola_stitch(preds: jnp.ndarray, starts: jnp.ndarray, lengths: jnp.ndarray,
     contribute, each weighted by the first ``lengths[k]`` taps of a
     symmetric Hann(win); weight sums of zero are guarded to 1 — the
     exact semantics of the reference ``_wola_stitch`` (sr node :227-251).
+
+    Regular-grid inputs (chunk_batch's always are) take the dense
+    two-track path; arbitrary ``starts`` fall back to the scatter-add.
     """
     k, c, w = preds.shape
+    hop = _regular_hop(np.asarray(starts), w)
+    if hop is not None:
+        return _wola_dense(preds, lengths, hop, total_len)
     acc = jnp.zeros((c, total_len), preds.dtype)
     wsum = jnp.zeros((total_len,), jnp.float32)
     acc, wsum = wola_accumulate(preds, starts, lengths, acc, wsum)

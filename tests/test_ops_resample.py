@@ -13,12 +13,16 @@ def _sine(sr, f, secs=1.0, amp=0.5):
 @pytest.mark.parametrize("src,dst", [(16000, 48000), (48000, 44100), (44100, 96000),
                                      (48000, 16000)])
 def test_output_length(src, dst):
+    from egregora_tpu.ops.resample import resampled_length
     x = _sine(src, 440.0)[None, :]
     y = resample_poly(jnp.asarray(x), src, dst)
     import math
     g = math.gcd(src, dst)
     expect = -(-x.shape[1] * (dst // g) // (src // g))
     assert y.shape == (1, expect)
+    # the host-side predictor the fused pipeline plans batches with
+    assert resampled_length(x.shape[1], src, dst) == expect
+    assert resampled_length(123, src, src) == 123
 
 
 def test_tone_preserved():
