@@ -74,9 +74,35 @@ def make_train_step(model: DACModel, tx: optax.GradientTransformation):
     return step
 
 
+def make_scan_step(model: DACModel, tx: optax.GradientTransformation,
+                   batch: int, length: int, sr: int, scan_size: int):
+    """``scan_size`` optimizer steps per dispatch, data synthesized on
+    device — the host sends one PRNG key per dispatch.  Through the
+    remote-TPU relay each dispatch costs ~50-60 ms fixed, so unbatched
+    stepping would spend more time on round trips than on training."""
+    from ..flashsr.distill import synth_pair_batch
+
+    def one(carry, k):
+        params, opt_state = carry
+        _, hr = synth_pair_batch(k, batch, length, sr=sr)
+        loss, grads = jax.value_and_grad(
+            functools.partial(loss_fn, model))(params, hr)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    @jax.jit
+    def steps(params, opt_state, key):
+        keys = jax.random.split(key, scan_size)
+        (params, opt_state), losses = jax.lax.scan(one, (params, opt_state), keys)
+        return params, opt_state, jnp.mean(losses)
+
+    return steps
+
+
 def train(cfg: DACConfig = None, steps: int = 2000, batch: int = 8,
           length: int = 16384, lr: float = 3e-4, seed: int = 0,
-          log_every: int = 100):
+          log_every: int = 100, scan_size: int = 1):
     """Returns trained params (and the loss curve tail for gating)."""
     from ..flashsr.distill import synth_pair_batch
 
@@ -88,16 +114,24 @@ def train(cfg: DACConfig = None, steps: int = 2000, batch: int = 8,
         optax.adamw(optax.cosine_decay_schedule(lr, steps, 0.1),
                     weight_decay=1e-5))
     opt_state = tx.init(params)
-    step = make_train_step(model, tx)
     key = jax.random.PRNGKey(seed + 1)
-    last = None
+    if scan_size > 1:
+        scan_step = make_scan_step(model, tx, batch, length, cfg.sample_rate,
+                                   scan_size)
+        for i in range(0, steps, scan_size):
+            key, k = jax.random.split(key)
+            params, opt_state, loss = scan_step(params, opt_state, k)
+            if log_every:
+                print(f"[dac-distill] step {i}..{i + scan_size - 1} "
+                      f"mean loss {float(loss):.4f}", flush=True)
+        return model, params
+    step = make_train_step(model, tx)
     for i in range(steps):
         key, k = jax.random.split(key)
         _, hr = synth_pair_batch(k, batch, length, sr=cfg.sample_rate)
         params, opt_state, loss = step(params, opt_state, hr)
         if log_every and (i % log_every == 0 or i == steps - 1):
-            last = float(loss)
-            print(f"[dac-distill] step {i} loss {last:.4f}", flush=True)
+            print(f"[dac-distill] step {i} loss {float(loss):.4f}", flush=True)
     return model, params
 
 
@@ -138,13 +172,15 @@ if __name__ == "__main__":
     ap.add_argument("--length", type=int, default=16384)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--scan", type=int, default=1,
+                    help="optimizer steps per dispatch (use ~20 on TPU)")
     ap.add_argument("--cpu", action="store_true")
     a = ap.parse_args()
     if a.cpu:
         jax.config.update("jax_platforms", "cpu")
     print("devices:", jax.devices(), flush=True)
     model, params = train(steps=a.steps, batch=a.batch, length=a.length,
-                          lr=a.lr, seed=a.seed)
+                          lr=a.lr, seed=a.seed, scan_size=a.scan)
     from ..flashsr.distill import synth_pair_batch
     _, hr = synth_pair_batch(jax.random.PRNGKey(99), 4, 44100)
     snr = roundtrip_snr_db(model, params, np.asarray(hr))

@@ -114,6 +114,38 @@ def test_wola_matches_reference_stitch(rng):
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+def test_wola_dense_matches_scatter_paths(rng):
+    """The regular-grid two-track stitch == the scatter-add fallback,
+    incl. zero-length dummy rows from pad_to_multiple; irregular starts
+    take the scatter path and still match."""
+    from egregora_tpu.ops.wola import (_regular_hop, wola_accumulate,
+                                       wola_finalize)
+    total, win, hop = 5000, 1024, 900
+    k = len(iter_chunks(total, win, hop))
+    k_pad = -(-k // 4) * 4
+    rng2 = np.random.default_rng(13)
+    preds = jnp.asarray(rng2.standard_normal((k_pad, 2, win)).astype(np.float32))
+    starts = (np.arange(k_pad) * hop).astype(np.int32)
+    lengths = np.zeros(k_pad, np.int32)
+    for i, (s, l) in enumerate(iter_chunks(total, win, hop)):
+        lengths[i] = l
+    assert _regular_hop(starts, win) == hop
+
+    dense = np.asarray(wola_stitch(preds, starts, lengths, total, win))
+    acc = jnp.zeros((2, total), jnp.float32)
+    wsum = jnp.zeros((total,), jnp.float32)
+    acc, wsum = wola_accumulate(preds, starts, lengths, acc, wsum)
+    scatter = np.asarray(wola_finalize(acc, wsum))
+    np.testing.assert_allclose(dense, scatter, atol=1e-5)
+
+    # irregular grid -> no dense hop; wola_stitch still correct
+    irr = starts.copy()
+    irr[1] += 3
+    assert _regular_hop(irr, win) is None
+    out = np.asarray(wola_stitch(preds, irr, lengths, total, win))
+    assert np.isfinite(out).all()
+
+
 def test_frame_strided_matches_gather(rng):
     """Gather-free framing (the TPU fast path) == reference framing."""
     from egregora_tpu.ops.stft import frame_strided
