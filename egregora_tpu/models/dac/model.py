@@ -62,9 +62,15 @@ MODEL_TYPES = {
 
 def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
     """Snake activation ``x + sin^2(alpha x)/alpha`` (periodic inductive
-    bias for audio; DAC/BigVGAN lineage)."""
-    a = alpha[None, None, :]
-    return x + jnp.sin(a * x) ** 2 / (a + 1e-9)
+    bias for audio; DAC/BigVGAN lineage).
+
+    ``alpha`` is floored at 0.05: as alpha -> 0 the term tends to
+    ``alpha * x^2`` — a quadratic amplifier that measurably exploded
+    latent RMS (18 -> 655) during in-repo distillation.  Converted
+    upstream checkpoints carry alpha ~ 1, for which the floor is a
+    no-op."""
+    a = jnp.maximum(alpha, 0.05)[None, None, :]
+    return x + jnp.sin(a * x) ** 2 / a
 
 
 class Snake(nn.Module):

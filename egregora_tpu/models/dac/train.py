@@ -32,7 +32,7 @@ def distilled_config(model_type: str = "44khz") -> DACConfig:
     same hop/code rate, fewer channels/codebooks)."""
     assert model_type == "44khz", "shipped distilled weights are 44khz-only"
     return DACConfig(sample_rate=44100, encoder_dim=16, strides=(2, 4, 8, 8),
-                     decoder_dim=256, n_codebooks=4, codebook_size=512,
+                     decoder_dim=256, n_codebooks=6, codebook_size=1024,
                      codebook_dim=8)
 
 
@@ -53,13 +53,22 @@ def _stft_l2(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 
 def loss_fn(model: DACModel, params: dict, wav: jnp.ndarray) -> jnp.ndarray:
-    """``wav [B, T]`` -> scalar.  Encoder/RVQ-ST/decoder roundtrip."""
+    """``wav [B, T]`` -> scalar.  Encoder/RVQ-ST/decoder roundtrip.
+
+    ``scale_reg`` anchors the encoder's output RMS at 1: without it the
+    scale-invariant VQ terms admit runaway latent drift (RMS 18 -> 655
+    observed).  ``(rms - 1)^2`` keeps a scale-independent restoring
+    gradient (~z/N) where a log-power penalty's force vanishes as the
+    scale grows."""
     z = model.encoder.apply(params["encoder"], wav[..., None])
     z_q, _, commit, codebook = model.rvq.apply(params["rvq"], z,
                                                with_losses=True)
     rec = model.decoder.apply(params["decoder"], z_q)[:, : wav.shape[-1]]
     wave_l2 = jnp.mean(jnp.square(rec - wav))
-    return 20.0 * wave_l2 + _stft_l2(rec, wav) + 0.25 * commit + codebook
+    rms = jnp.sqrt(jnp.mean(jnp.square(z)) + 1e-9)
+    scale_reg = jnp.square(rms - 1.0)
+    return (20.0 * wave_l2 + _stft_l2(rec, wav) + 0.25 * commit + codebook
+            + 0.5 * scale_reg)
 
 
 def make_train_step(model: DACModel, tx: optax.GradientTransformation):
