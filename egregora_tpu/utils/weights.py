@@ -225,15 +225,18 @@ def ensure_flashsr_weights(modules, seed: int = 0, ckpt_dir: Optional[Path] = No
         return load_params(cache)
     missing = missing_flashsr_files(d)
     if not missing:
+        from ..models.flashsr.ldm_unet import LDMUNetConfig, ldm_unet_name_map
         from ..models.flashsr.vae import audioldm_vae_name_map
         from ..models.flashsr.vocoder import hifigan_name_map
         params = modules.init_params(seed)
         # per-checkpoint upstream name maps (layout-tested against
         # synthetic state dicts in the documented upstream conventions);
-        # student_ldm falls back to suffix/shape matching
+        # a non-LDM student config falls back to suffix/shape matching
         maps = {"vae": audioldm_vae_name_map(modules.cfg.vae),
                 "sr_vocoder": hifigan_name_map(modules.cfg.vocoder),
-                "student_ldm": None}
+                "student_ldm": (ldm_unet_name_map(modules.cfg.unet)
+                                if isinstance(modules.cfg.unet, LDMUNetConfig)
+                                else None)}
         converted = {}
         for name, fname in (("student_ldm", "student_ldm.pth"),
                             ("sr_vocoder", "sr_vocoder.pth"),

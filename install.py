@@ -78,6 +78,13 @@ def warmups() -> None:
     enhance(dfn_init(0), silence)
     print("[warmup] deepfilternet: ok")
 
+    # DAC warmup mirrors the reference's warmup_dac (install.py:151-158):
+    # resolve weights (converted > shipped distilled > random) + tiny encode
+    from egregora_tpu.models.dac.model import build_dac
+    model, params, _sr = build_dac("44khz")
+    model.encode(params, jnp.zeros((1, model.cfg.hop * 4), jnp.float32))
+    print("[warmup] dac: ok")
+
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()

@@ -16,8 +16,8 @@ torch = pytest.importorskip("torch")
 import jax
 import jax.numpy as jnp
 
+from egregora_tpu.models.flashsr.ldm_unet import LDMUNetConfig, ldm_unet_name_map
 from egregora_tpu.models.flashsr.pipeline import FlashSRConfig, FlashSRModules
-from egregora_tpu.models.flashsr.unet import UNetConfig
 from egregora_tpu.models.flashsr.vae import VAEConfig, audioldm_vae_name_map
 from egregora_tpu.models.flashsr.vocoder import VocoderConfig, hifigan_name_map
 from egregora_tpu.utils.weights import _flatten, ensure_flashsr_weights
@@ -26,14 +26,15 @@ from test_weights import _synthetic_torch_sd
 
 
 def _reduced_cfg() -> FlashSRConfig:
-    """Full upstream STRUCTURE (mid attention, quant convs, HiFi-GAN
-    resblock grid) at reduced widths so the test runs in seconds."""
+    """Full upstream STRUCTURE (mid attention, quant convs, CompVis
+    UNetModel block graph, HiFi-GAN resblock grid) at reduced widths so
+    the test runs in seconds."""
     return FlashSRConfig(
         vae=VAEConfig(base_channels=8, channel_mults=(1, 2, 4), latent_channels=4,
                       num_res_blocks=1, groups=4),
-        unet=UNetConfig(in_channels=8, out_channels=4, base_channels=8,
-                        channel_mults=(1, 2), num_res_blocks=1, attn_levels=(1,),
-                        num_heads=2, time_dim=16, groups=4),
+        unet=LDMUNetConfig(in_channels=8, out_channels=4, model_channels=8,
+                           channel_mult=(1, 2), num_res_blocks=1,
+                           attention_resolutions=(2,), num_heads=2, groups=4),
         # n_mels stays at the pipeline's 256: FlashSRModules.init_params
         # builds the vocoder against the real mel front-end shape
         vocoder=VocoderConfig(upsample_initial=16,
@@ -65,20 +66,26 @@ def test_pth_trio_converts_and_runs(tmp_path):
                                  rng, weight_norm=True)
     _save_pth(tmp_path / "sr_vocoder.pth", sd_voc)
 
-    # student_ldm.pth: suffix/shape-matched fallback layout (dot-joined
-    # module paths, torch tensor orientation) until the LDM UNet name
-    # map lands
+    # student_ldm.pth: CompVis UNetModel layout (qkv/proj_out as 1d
+    # convs [out, in, 1], time_embed/emb_layers as Linear [out, in])
     flat_unet = _flatten(params["student_ldm"])
+    raw_unet = ldm_unet_name_map(cfg.unet).__self__
     sd_unet = {}
-    for fk, v in flat_unet.items():
-        tk = fk.replace("params/", "").replace("/", ".")
-        tk = tk.replace(".kernel", ".weight")
-        w = np.asarray(v, np.float32)
-        if tk.endswith("weight") and w.ndim == 2:
-            w = w.T
-        elif tk.endswith("weight") and w.ndim >= 3:
-            w = np.transpose(w, (w.ndim - 1, w.ndim - 2) + tuple(range(w.ndim - 2)))
-        sd_unet[tk] = w
+    for tk, fk in raw_unet.items():
+        tr = None
+        if isinstance(fk, tuple):
+            fk, tr = fk
+        w = np.asarray(flat_unet[fk], np.float32)
+        if callable(tr):
+            sd_unet[tk] = (w.T[:, :, None]
+                           if ("qkv" in tk or "proj_out" in tk) else w.T)
+        elif w.ndim >= 3 and tk.endswith("weight"):
+            sd_unet[tk] = np.transpose(
+                w, np.argsort(tuple(range(2, w.ndim)) + (1, 0)))
+        elif w.ndim == 2 and tk.endswith("weight"):
+            sd_unet[tk] = w.T
+        else:
+            sd_unet[tk] = w
     _save_pth(tmp_path / "student_ldm.pth", sd_unet)
 
     converted = ensure_flashsr_weights(modules, ckpt_dir=tmp_path)
