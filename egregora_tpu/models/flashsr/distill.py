@@ -155,9 +155,38 @@ def make_distill_step(modules, tx, batch: int, length: int, sr: int = SR):
     return jax.jit(step)
 
 
+def make_distill_scan(modules, tx, batch: int, length: int, scan_size: int,
+                      sr: int = SR):
+    """``scan_size`` distillation steps per dispatch (lax.scan over PRNG
+    keys; data synthesized on device) — amortizes the remote relay's
+    ~50-60 ms fixed per-dispatch cost."""
+    import optax
+
+    from .train import loss_fn
+
+    def one(carry, key):
+        params, opt_state = carry
+        kd, kn = jax.random.split(key)
+        lr_w, hr_w = synth_pair_batch(kd, batch, length, sr)
+        loss, grads = jax.value_and_grad(
+            functools.partial(loss_fn, modules, hop=480, n_mels=256, n_fft=2048),
+            argnums=0)(params, lr_w, hr_w, kn)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    @jax.jit
+    def steps_fn(params, opt_state, key):
+        keys = jax.random.split(key, scan_size)
+        (params, opt_state), losses = jax.lax.scan(one, (params, opt_state), keys)
+        return params, opt_state, jnp.mean(losses)
+
+    return steps_fn
+
+
 def distill(steps: int = 3000, batch: int = 8, frames: int = 128,
             lr: float = 2e-4, seed: int = 0, out_path: Path = PRETRAINED,
-            log_every: int = 100) -> dict:
+            log_every: int = 100, scan_size: int = 1) -> dict:
     """Run the distillation and write ``pretrained.npz`` (float16).
 
     Returns the final metrics dict (also written next to the npz)."""
@@ -170,18 +199,28 @@ def distill(steps: int = 3000, batch: int = 8, frames: int = 128,
     params = modules.init_params(seed)
     tx = make_optimizer(lr)
     opt_state = tx.init(params)
-    step = make_distill_step(modules, tx, batch, length)
-
     base = jax.random.PRNGKey(seed + 1)
     loss0 = None
-    for i in range(steps):
-        params, opt_state, loss = step(params, opt_state,
-                                       jax.random.fold_in(base, i))
-        if i % log_every == 0 or i == steps - 1:
-            lv = float(loss)   # sync point
+    if scan_size > 1:
+        scan_step = make_distill_scan(modules, tx, batch, length, scan_size)
+        for i in range(0, steps, scan_size):
+            params, opt_state, loss = scan_step(params, opt_state,
+                                                jax.random.fold_in(base, i))
+            lv = float(loss)
             if loss0 is None:
                 loss0 = lv
-            print(f"[distill] step {i:5d} loss {lv:.4f}", flush=True)
+            print(f"[distill] step {i:5d}..{i + scan_size - 1} "
+                  f"mean loss {lv:.4f}", flush=True)
+    else:
+        step = make_distill_step(modules, tx, batch, length)
+        for i in range(steps):
+            params, opt_state, loss = step(params, opt_state,
+                                           jax.random.fold_in(base, i))
+            if i % log_every == 0 or i == steps - 1:
+                lv = float(loss)   # sync point
+                if loss0 is None:
+                    loss0 = lv
+                print(f"[distill] step {i:5d} loss {lv:.4f}", flush=True)
 
     metrics = evaluate(params, cfg, seed=seed + 7)
     metrics.update(steps=steps, batch=batch, frames=frames,
@@ -267,9 +306,12 @@ if __name__ == "__main__":
     ap.add_argument("--frames", type=int, default=128)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--scan", type=int, default=1,
+                    help="steps per dispatch (use ~20 on TPU)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     a = ap.parse_args()
     if a.cpu:
         jax.config.update("jax_platforms", "cpu")
     print("devices:", jax.devices(), flush=True)
-    distill(steps=a.steps, batch=a.batch, frames=a.frames, lr=a.lr, seed=a.seed)
+    distill(steps=a.steps, batch=a.batch, frames=a.frames, lr=a.lr, seed=a.seed,
+            scan_size=a.scan)
