@@ -160,33 +160,9 @@ class FlashSRPipeline:
 
     @functools.cached_property
     def _jit_forward(self):
+        """Standalone jitted chunk forward (model-only benches/tests;
+        ``process`` runs the fused whole-pipeline programs instead)."""
         return jax.jit(self.chunk_forward, static_argnames=("lowpass_input",))
-
-    @functools.cached_property
-    def _jit_accumulate(self):
-        from ...ops.wola import wola_accumulate
-        return jax.jit(wola_accumulate)
-
-    def _forward_fn(self, mesh, lowpass_input: bool):
-        """Compiled chunk forward, mesh-sharded when a mesh is given.
-
-        Cached per (mesh, lowpass_input) so repeated ``process`` calls
-        reuse one compilation (the reference rebuilds its runner every
-        run, sr node :393)."""
-        if not hasattr(self, "_fwd_cache"):
-            self._fwd_cache = {}
-        key = (mesh, bool(lowpass_input))
-        fn = self._fwd_cache.get(key)
-        if fn is None:
-            if mesh is None:
-                fn = lambda p, ch: self._jit_forward(p, ch, lowpass_input=lowpass_input)
-            else:
-                from ...parallel.mesh import chunk_parallel
-                fn = chunk_parallel(
-                    lambda p, ch: self.chunk_forward(p, ch, lowpass_input=lowpass_input),
-                    mesh)
-            self._fwd_cache[key] = fn
-        return fn
 
     @staticmethod
     def _resolve_mesh(mesh):
@@ -274,35 +250,64 @@ class FlashSRPipeline:
             out = fn(self.params, audio.samples)
             return AudioBuffer(out, int(output_sr), dict(audio.meta))
 
-        # streaming: fixed-shape batches through one compiled program,
-        # folded into running weighted sums (never O(total) activations)
+        # streaming: fixed-shape batches through ONE compiled per-batch
+        # program (dynamic-slice the batch -> forward -> dense OLA fold
+        # at a traced offset), O(batch) activations, O(total) accumulators
+        from ...ops.wola import wola_finalize
         x = audio.samples
         if in_sr != REQ_SR:
             x = resample(x, in_sr, REQ_SR)
         c, total = x.shape
-        chunks, starts, lengths = chunk_batch(x, CHUNK_SAMPLES, HOP_SAMPLES,
-                                              pad_to_multiple=pad_mult)
-        k = chunks.shape[0]
-        fwd = self._forward_fn(mesh, lowpass_input)
         b = int(max_batch)
         if mesh:
             b = -(-b // mesh.size) * mesh.size
-        acc = jnp.zeros((c, total), jnp.float32)
-        wsum = jnp.zeros((total,), jnp.float32)
-        for s0 in range(0, k, b):
-            batch = chunks[s0: s0 + b]
-            n_valid = batch.shape[0]
-            if n_valid < b:   # pad tail batch to the static shape
-                batch = jnp.pad(batch, ((0, b - n_valid), (0, 0), (0, 0)))
-            flat = batch.reshape(b * c, CHUNK_SAMPLES)
-            pred = fwd(self.params, flat).reshape(b, c, CHUNK_SAMPLES)
-            st = np.zeros(b, np.int32)
-            ln = np.zeros(b, np.int32)   # padded rows: zero stitch weight
-            st[:n_valid] = starts[s0: s0 + b]
-            ln[:n_valid] = lengths[s0: s0 + b]
-            acc, wsum = self._jit_accumulate(pred, st, ln, acc, wsum)
-        from ...ops.wola import wola_finalize
-        out = wola_finalize(acc, wsum)
+        chunks, starts, lengths = chunk_batch(
+            x, CHUNK_SAMPLES, HOP_SAMPLES,
+            pad_to_multiple=int(np.lcm(pad_mult, b)))
+        k = chunks.shape[0]               # multiple of b; starts = i*hop
+        n_batches = k // b
+        alloc = (k + 1) * HOP_SAMPLES     # covers total + last batch's span
+        acc = jnp.zeros((c, alloc), jnp.float32)
+        wsum = jnp.zeros((alloc,), jnp.float32)
+        lengths_dev = jnp.asarray(lengths, jnp.int32)
+        step = self._stream_step(mesh, lowpass_input, b)
+        for i in range(n_batches):
+            acc, wsum = step(self.params, chunks, lengths_dev, acc, wsum, i)
+        out = wola_finalize(acc[:, :total], wsum[:total])
         if int(output_sr) != REQ_SR:
             out = resample(out, REQ_SR, int(output_sr))
         return AudioBuffer(out, int(output_sr), dict(audio.meta))
+
+    def _stream_step(self, mesh, lowpass_input: bool, b: int):
+        """One jitted streaming-batch program: slice batch ``i`` out of
+        the chunk tensor (traced offset), run the forward, fold into the
+        running dense-OLA accumulators.  One program serves every batch
+        index and input length at a given geometry."""
+        if not hasattr(self, "_stream_cache"):
+            self._stream_cache = {}
+        key = (mesh, bool(lowpass_input), int(b))
+        fn = self._stream_cache.get(key)
+        if fn is not None:
+            return fn
+
+        def run(params, chunks, lengths, acc, wsum, i):
+            from ...ops.wola import wola_accumulate_dense
+            c = chunks.shape[1]
+            s0 = jnp.asarray(i, jnp.int32) * b
+            batch = jax.lax.dynamic_slice(
+                chunks, (s0, 0, 0), (b, c, CHUNK_SAMPLES))
+            lens = jax.lax.dynamic_slice(lengths, (s0,), (b,))
+            flat = batch.reshape(b * c, CHUNK_SAMPLES)
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                flat = jax.lax.with_sharding_constraint(
+                    flat, NamedSharding(mesh, P("chunk")))
+            pred = self.chunk_forward(params, flat,
+                                      lowpass_input=lowpass_input)
+            pred = pred.reshape(b, c, CHUNK_SAMPLES)
+            return wola_accumulate_dense(pred, lens, HOP_SAMPLES,
+                                         acc, wsum, s0 * HOP_SAMPLES)
+
+        fn = jax.jit(run, donate_argnums=(3, 4))
+        self._stream_cache[key] = fn
+        return fn

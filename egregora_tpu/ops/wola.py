@@ -128,13 +128,15 @@ def _regular_hop(starts: np.ndarray, win: int):
     return hop
 
 
-def _wola_dense(preds: jnp.ndarray, lengths: jnp.ndarray, hop: int,
-                total_len: int) -> jnp.ndarray:
-    """Scatter-free OLA for the regular grid: with ``win <= 2*hop`` each
-    output sample receives at most two chunks' contributions, so the
-    overlap-add decomposes into TWO dense shifted tracks (reshapes +
-    pads) — TPU scatter-add over arbitrary indices runs scalar-slow
-    (measured ~0.7 s of a 1.06 s fused FlashSR node program)."""
+def _wola_dense_tracks(preds: jnp.ndarray, lengths: jnp.ndarray, hop: int
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter-free OLA of a contiguous regular-grid chunk batch: with
+    ``win <= 2*hop`` each output sample receives at most two chunks'
+    contributions, so the overlap-add decomposes into TWO dense shifted
+    tracks (reshapes + pads) — TPU scatter-add over arbitrary indices
+    runs scalar-slow (measured ~0.7 s of a 1.06 s fused FlashSR node
+    program).  Returns ``(acc [C, (K+1)*hop], wsum [(K+1)*hop])``
+    covering offsets [0, (K+1)*hop) relative to chunk 0's start."""
     k, c, w = preds.shape
     hann = jnp.asarray(hann_symmetric(w))
     tap = jnp.arange(w)[None, :]
@@ -151,7 +153,35 @@ def _wola_dense(preds: jnp.ndarray, lengths: jnp.ndarray, hop: int,
     acc = jnp.pad(ta, ((0, 0), (0, hop))) + jnp.pad(tb, ((0, 0), (hop, 0)))
     wa, wb = wgt2[:, :hop].reshape(-1), wgt2[:, hop:].reshape(-1)
     wsum = jnp.pad(wa, (0, hop)) + jnp.pad(wb, (hop, 0))
+    return acc, wsum
+
+
+def _wola_dense(preds: jnp.ndarray, lengths: jnp.ndarray, hop: int,
+                total_len: int) -> jnp.ndarray:
+    acc, wsum = _wola_dense_tracks(preds, lengths, hop)
     return wola_finalize(acc[:, :total_len], wsum[:total_len])
+
+
+def wola_accumulate_dense(preds: jnp.ndarray, lengths: jnp.ndarray, hop: int,
+                          acc: jnp.ndarray, wsum: jnp.ndarray,
+                          offset) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fold one CONTIGUOUS regular-grid chunk batch (first chunk starts
+    at ``offset``, a traced int) into running ``(acc, wsum)``.
+
+    The accumulators must carry ``(K+1)*hop`` samples of tail margin so
+    the fixed-size dynamic-slice add never clips (jittable: one program
+    serves every batch offset).  Streaming analog of ``_wola_dense``."""
+    import jax.lax as lax
+
+    k, c, w = preds.shape
+    seg_a, seg_w = _wola_dense_tracks(preds, lengths, hop)
+    seg = seg_a.shape[-1]
+    offset = jnp.asarray(offset, jnp.int32)
+    cur_a = lax.dynamic_slice(acc, (0, offset), (c, seg))
+    acc = lax.dynamic_update_slice(acc, cur_a + seg_a, (0, offset))
+    cur_w = lax.dynamic_slice(wsum, (offset,), (seg,))
+    wsum = lax.dynamic_update_slice(wsum, cur_w + seg_w, (offset,))
+    return acc, wsum
 
 
 def wola_stitch(preds: jnp.ndarray, starts: jnp.ndarray, lengths: jnp.ndarray,
