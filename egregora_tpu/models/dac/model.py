@@ -39,6 +39,12 @@ class DACConfig:
     n_codebooks: int = 9
     codebook_size: int = 1024
     codebook_dim: int = 8
+    # residual-add scale: upstream checkpoints expect plain adds (1.0,
+    # their weight_norm keeps activations tame); the in-repo distilled
+    # config trains without weight norm and needs 1/sqrt(2) to stop the
+    # Snake stack's variance doubling per unit (std ~14 at the decoder
+    # output saturated the final tanh and froze training)
+    res_scale: float = 1.0
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -86,6 +92,7 @@ class ResidualUnit(nn.Module):
     channels: int
     dilation: int
     dtype: jnp.dtype
+    res_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x):
@@ -94,19 +101,20 @@ class ResidualUnit(nn.Module):
                     dtype=self.dtype)(h)
         h = Snake(self.channels)(h)
         h = nn.Conv(self.channels, (1,), dtype=self.dtype)(h)
-        return x + h
+        return (x + h) * self.res_scale
 
 
 class EncoderBlock(nn.Module):
     out_channels: int
     stride: int
     dtype: jnp.dtype
+    res_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x):
         ch = x.shape[-1]
         for d in (1, 3, 9):
-            x = ResidualUnit(ch, d, self.dtype)(x)
+            x = ResidualUnit(ch, d, self.dtype, self.res_scale)(x)
         x = Snake(ch)(x)
         return nn.Conv(self.out_channels, (2 * self.stride,),
                        strides=(self.stride,), dtype=self.dtype)(x)
@@ -116,6 +124,7 @@ class DecoderBlock(nn.Module):
     out_channels: int
     stride: int
     dtype: jnp.dtype
+    res_scale: float = 1.0
 
     @nn.compact
     def __call__(self, x):
@@ -123,7 +132,7 @@ class DecoderBlock(nn.Module):
         x = nn.ConvTranspose(self.out_channels, (2 * self.stride,),
                              strides=(self.stride,), dtype=self.dtype)(x)
         for d in (1, 3, 9):
-            x = ResidualUnit(self.out_channels, d, self.dtype)(x)
+            x = ResidualUnit(self.out_channels, d, self.dtype, self.res_scale)(x)
         return x
 
 
@@ -138,7 +147,7 @@ class DACEncoder(nn.Module):
         ch = c.encoder_dim
         for s in c.strides:
             ch *= 2
-            h = EncoderBlock(ch, s, c.dtype)(h)
+            h = EncoderBlock(ch, s, c.dtype, c.res_scale)(h)
         h = Snake(ch)(h)
         return nn.Conv(c.latent_dim, (3,), dtype=c.dtype)(h).astype(jnp.float32)
 
@@ -154,7 +163,7 @@ class DACDecoder(nn.Module):
         ch = c.decoder_dim
         for s in reversed(c.strides):
             ch //= 2
-            h = DecoderBlock(ch, s, c.dtype)(h)
+            h = DecoderBlock(ch, s, c.dtype, c.res_scale)(h)
         h = Snake(ch)(h)
         # zero-init: the un-weight-normed Snake stack reaches this layer
         # with std ~14, which saturates tanh at any reasonable kernel

@@ -33,7 +33,7 @@ def distilled_config(model_type: str = "44khz") -> DACConfig:
     assert model_type == "44khz", "shipped distilled weights are 44khz-only"
     return DACConfig(sample_rate=44100, encoder_dim=16, strides=(2, 4, 8, 8),
                      decoder_dim=256, n_codebooks=6, codebook_size=1024,
-                     codebook_dim=8)
+                     codebook_dim=8, res_scale=float(1.0 / np.sqrt(2.0)))
 
 
 def _stft_l2(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -71,20 +71,56 @@ def loss_fn(model: DACModel, params: dict, wav: jnp.ndarray) -> jnp.ndarray:
             + 0.5 * scale_reg)
 
 
-def make_train_step(model: DACModel, tx: optax.GradientTransformation):
-    @jax.jit
-    def step(params, opt_state, wav):
-        loss, grads = jax.value_and_grad(
-            functools.partial(loss_fn, model))(params, wav)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+def ae_loss_fn(model: DACModel, params: dict, wav: jnp.ndarray) -> jnp.ndarray:
+    """Phase-A objective: plain encoder->decoder reconstruction (no
+    quantizer in the path).  The RVQ only trains well against a latent
+    that already carries the signal; training it jointly from scratch
+    collapsed every codebook to one entry."""
+    z = model.encoder.apply(params["encoder"], wav[..., None])
+    rec = model.decoder.apply(params["decoder"], z)[:, : wav.shape[-1]]
+    wave_l2 = jnp.mean(jnp.square(rec - wav))
+    rms = jnp.sqrt(jnp.mean(jnp.square(z)) + 1e-9)
+    return 20.0 * wave_l2 + _stft_l2(rec, wav) + 0.5 * jnp.square(rms - 1.0)
 
-    return step
+
+def init_codebooks_from_data(model: DACModel, params: dict,
+                             wav: jnp.ndarray, seed: int = 0) -> dict:
+    """Data-dependent codebook init (k-means++-lite): run the trained
+    encoder over a batch, then per stage set the codebook rows to
+    random projected-residual samples.  Standard VQ-VAE collapse
+    countermeasure — a N(0,1) codebook far from the residual manifold
+    ends up with one 'nearest' entry winning every assignment."""
+    cfg = model.cfg
+    z = model.encoder.apply(params["encoder"], wav[..., None])
+    rvq = dict(params["rvq"]["params"])
+    residual = z
+    key = jax.random.PRNGKey(seed + 77)
+    for i in range(cfg.n_codebooks):
+        win = rvq[f"proj_in_{i}"]["kernel"]
+        bin_ = rvq[f"proj_in_{i}"]["bias"]
+        r = (residual @ win + bin_).reshape(-1, cfg.codebook_dim)
+        key, k = jax.random.split(key)
+        idx = jax.random.choice(k, r.shape[0], (cfg.codebook_size,),
+                                replace=r.shape[0] < cfg.codebook_size)
+        key, k = jax.random.split(key)
+        book = r[idx] * (1.0 + 0.01 * jax.random.normal(
+            k, (cfg.codebook_size, cfg.codebook_dim)))
+        rvq[f"codebook_{i}"] = book
+        # subtract this stage's quantized contribution like the forward
+        d2 = (jnp.sum((residual @ win + bin_) ** 2, -1, keepdims=True)
+              - 2.0 * (residual @ win + bin_) @ book.T
+              + jnp.sum(book ** 2, -1)[None, None, :])
+        q = (book[jnp.argmin(d2, -1)] @ rvq[f"proj_out_{i}"]["kernel"]
+             + rvq[f"proj_out_{i}"]["bias"])
+        residual = residual - q
+    out = dict(params)
+    out["rvq"] = {"params": rvq}
+    return out
 
 
 def make_scan_step(model: DACModel, tx: optax.GradientTransformation,
-                   batch: int, length: int, sr: int, scan_size: int):
+                   batch: int, length: int, sr: int, scan_size: int,
+                   loss=loss_fn):
     """``scan_size`` optimizer steps per dispatch, data synthesized on
     device — the host sends one PRNG key per dispatch.  Through the
     remote-TPU relay each dispatch costs ~50-60 ms fixed, so unbatched
@@ -94,11 +130,11 @@ def make_scan_step(model: DACModel, tx: optax.GradientTransformation,
     def one(carry, k):
         params, opt_state = carry
         _, hr = synth_pair_batch(k, batch, length, sr=sr)
-        loss, grads = jax.value_and_grad(
-            functools.partial(loss_fn, model))(params, hr)
+        lv, grads = jax.value_and_grad(
+            functools.partial(loss, model))(params, hr)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
+        return (params, opt_state), lv
 
     @jax.jit
     def steps(params, opt_state, key):
@@ -109,38 +145,49 @@ def make_scan_step(model: DACModel, tx: optax.GradientTransformation,
     return steps
 
 
-def train(cfg: DACConfig = None, steps: int = 2000, batch: int = 8,
-          length: int = 16384, lr: float = 3e-4, seed: int = 0,
-          log_every: int = 100, scan_size: int = 1):
-    """Returns trained params (and the loss curve tail for gating)."""
-    from ..flashsr.distill import synth_pair_batch
-
-    cfg = cfg or distilled_config()
-    model = DACModel(cfg)
-    params = model.init_params(seed)
+def _run_phase(model, params, tag, loss, steps, batch, length, lr, key,
+               scan_size, log_every):
+    if steps <= 0:
+        return params
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(optax.cosine_decay_schedule(lr, steps, 0.1),
                     weight_decay=1e-5))
     opt_state = tx.init(params)
-    key = jax.random.PRNGKey(seed + 1)
-    if scan_size > 1:
-        scan_step = make_scan_step(model, tx, batch, length, cfg.sample_rate,
-                                   scan_size)
-        for i in range(0, steps, scan_size):
-            key, k = jax.random.split(key)
-            params, opt_state, loss = scan_step(params, opt_state, k)
-            if log_every:
-                print(f"[dac-distill] step {i}..{i + scan_size - 1} "
-                      f"mean loss {float(loss):.4f}", flush=True)
-        return model, params
-    step = make_train_step(model, tx)
-    for i in range(steps):
+    sr = model.cfg.sample_rate
+    sz = max(1, scan_size)
+    step = make_scan_step(model, tx, batch, length, sr, sz, loss=loss)
+    for i in range(0, steps, sz):
         key, k = jax.random.split(key)
-        _, hr = synth_pair_batch(k, batch, length, sr=cfg.sample_rate)
-        params, opt_state, loss = step(params, opt_state, hr)
-        if log_every and (i % log_every == 0 or i == steps - 1):
-            print(f"[dac-distill] step {i} loss {float(loss):.4f}", flush=True)
+        params, opt_state, lv = step(params, opt_state, k)
+        if log_every:
+            print(f"[dac-distill:{tag}] step {i}..{i + sz - 1} "
+                  f"mean loss {float(lv):.4f}", flush=True)
+    return params
+
+
+def train(cfg: DACConfig = None, steps: int = 2000, batch: int = 8,
+          length: int = 16384, lr: float = 3e-4, seed: int = 0,
+          log_every: int = 100, scan_size: int = 1, ae_frac: float = 0.5):
+    """Two-phase distillation: (A) plain autoencoder until the latent
+    carries the signal, then data-dependent codebook init, then (B)
+    joint VQ training.  Joint-from-scratch collapsed every codebook to
+    a single entry (measured: 1 used code per book after 4000 steps)."""
+    from ..flashsr.distill import synth_pair_batch
+
+    cfg = cfg or distilled_config()
+    model = DACModel(cfg)
+    params = model.init_params(seed)
+    key = jax.random.PRNGKey(seed + 1)
+    ae_steps = int(round(steps * ae_frac))
+
+    key, ka, kc, kb = jax.random.split(key, 4)
+    params = _run_phase(model, params, "ae", ae_loss_fn, ae_steps, batch,
+                        length, lr, ka, scan_size, log_every)
+    _, warm = synth_pair_batch(kc, batch, length, sr=cfg.sample_rate)
+    params = init_codebooks_from_data(model, params, warm, seed=seed)
+    params = _run_phase(model, params, "vq", loss_fn, steps - ae_steps, batch,
+                        length, lr * 0.5, kb, scan_size, log_every)
     return model, params
 
 
