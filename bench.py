@@ -137,7 +137,11 @@ def bench_evalpack(jnp) -> None:
 
 
 def bench_nullsuite(jnp) -> None:
-    """Config #3: GCC-PHAT align + gain match + null subtract on an A/B pair."""
+    """Config #3: GCC-PHAT align + gain match + null subtract on an A/B
+    pair — ONE jitted program per pair (eager per-stage dispatches cost
+    ~50-60 ms each through the relay)."""
+    import jax
+
     from egregora_tpu.eval.align import apply_frac_delay, xcorr_delay
     from egregora_tpu.eval.nulltest import gain_match, null_test
 
@@ -146,18 +150,19 @@ def bench_nullsuite(jnp) -> None:
     a = jnp.asarray(rng.standard_normal((1, sr * 10)).astype(np.float32) * 0.1)
     b = jnp.roll(a, 333, axis=1) * 0.8
 
-    def run_pair():
+    @jax.jit
+    def run_pair(a, b):
         lag = xcorr_delay(a[0], b[0], max_shift=sr // 5)
         aligned = apply_frac_delay(b, -lag)
         matched, gain_db, _, _ = gain_match(a, aligned, sr, mode="RMS")
         null, metrics = null_test(a, matched, sr)
         return null
 
-    _sync(run_pair())  # compile
+    _sync(run_pair(a, b))  # compile
     trials = 5
     t0 = time.time()
     for _ in range(trials):
-        _sync(run_pair())
+        _sync(run_pair(a, b))
     dt = time.time() - t0
     _emit("nullsuite_pairs_s", trials / dt, "pairs_per_s", 0.0)
 
