@@ -45,6 +45,11 @@ class DACConfig:
     # Snake stack's variance doubling per unit (std ~14 at the decoder
     # output saturated the final tanh and froze training)
     res_scale: float = 1.0
+    # upstream decoders end in tanh; the distilled config disables it:
+    # with un-weight-normed kernels the pre-activation scale makes tanh
+    # saturation an absorbing state under training (observed repeatedly
+    # in overfit probes — mse pinned at signal+1.0, zero gradients)
+    output_tanh: bool = True
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -171,7 +176,8 @@ class DACDecoder(nn.Module):
         # checkpoints overwrite it)
         h = nn.Conv(1, (7,), kernel_init=nn.initializers.zeros,
                     dtype=c.dtype)(h)
-        return jnp.tanh(h.astype(jnp.float32))[..., 0]
+        h = h.astype(jnp.float32)[..., 0]
+        return jnp.tanh(h) if c.output_tanh else h
 
 
 class ResidualVQ(nn.Module):

@@ -31,9 +31,16 @@ def distilled_config(model_type: str = "44khz") -> DACConfig:
     """Compact trio of the upstream 44 kHz structure (same strides ->
     same hop/code rate, fewer channels/codebooks)."""
     assert model_type == "44khz", "shipped distilled weights are 44khz-only"
-    return DACConfig(sample_rate=44100, encoder_dim=16, strides=(2, 4, 8, 8),
+    # hop 128 (vs upstream 512): a plain L2+STFT-trained compact AE
+    # plateaued ~0 dB SNR at hop 512 (too much temporal compression
+    # without adversarial training); 4x the frame rate trades bitrate
+    # for reconstruction quality, which is the right trade for an
+    # in-repo functional stand-in.  Upstream conversion configs
+    # (MODEL_TYPES) keep the real strides.
+    return DACConfig(sample_rate=44100, encoder_dim=16, strides=(2, 4, 4, 4),
                      decoder_dim=256, n_codebooks=6, codebook_size=1024,
-                     codebook_dim=8, res_scale=float(1.0 / np.sqrt(2.0)))
+                     codebook_dim=8, res_scale=float(1.0 / np.sqrt(2.0)),
+                     output_tanh=False)
 
 
 def _stft_l2(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -67,8 +74,13 @@ def loss_fn(model: DACModel, params: dict, wav: jnp.ndarray) -> jnp.ndarray:
     wave_l2 = jnp.mean(jnp.square(rec - wav))
     rms = jnp.sqrt(jnp.mean(jnp.square(z)) + 1e-9)
     scale_reg = jnp.square(rms - 1.0)
+    # full-space latent match: z_q must approximate z (the projected
+    # per-stage losses alone let the proj_out stages blow z_q up to ~9x
+    # z's scale, decoupling the decoder from the encoder)
+    denom_z = jax.lax.stop_gradient(jnp.mean(jnp.square(z))) + 1e-6
+    latent_match = jnp.mean(jnp.square(z_q - jax.lax.stop_gradient(z))) / denom_z
     return (20.0 * wave_l2 + _stft_l2(rec, wav) + 0.25 * commit + codebook
-            + 0.5 * scale_reg)
+            + latent_match + 0.5 * scale_reg)
 
 
 def ae_loss_fn(model: DACModel, params: dict, wav: jnp.ndarray) -> jnp.ndarray:
