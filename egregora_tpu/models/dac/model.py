@@ -39,10 +39,10 @@ class DACConfig:
     n_codebooks: int = 9
     codebook_size: int = 1024
     codebook_dim: int = 8
-    # residual-add scale: upstream checkpoints expect plain adds (1.0,
-    # their weight_norm keeps activations tame); the in-repo distilled
-    # config trains without weight norm and needs 1/sqrt(2) to stop the
-    # Snake stack's variance doubling per unit (std ~14 at the decoder
+    # residual-BRANCH scale: upstream checkpoints expect plain adds
+    # (1.0, their weight_norm keeps activations tame); the in-repo
+    # distilled config trains without weight norm and uses 0.5 to stop
+    # the Snake stack's variance compounding (std ~14 at the decoder
     # output saturated the final tanh and froze training)
     res_scale: float = 1.0
     # upstream decoders end in tanh; the distilled config disables it:
@@ -106,7 +106,10 @@ class ResidualUnit(nn.Module):
                     dtype=self.dtype)(h)
         h = Snake(self.channels)(h)
         h = nn.Conv(self.channels, (1,), dtype=self.dtype)(h)
-        return (x + h) * self.res_scale
+        # scale ONLY the residual branch: scaling the sum (x+h) decays
+        # the identity path by res_scale^12 across a coder (~0.016 at
+        # 0.707), which destroyed autoencoder learnability
+        return x + self.res_scale * h
 
 
 class EncoderBlock(nn.Module):

@@ -39,8 +39,7 @@ def distilled_config(model_type: str = "44khz") -> DACConfig:
     # (MODEL_TYPES) keep the real strides.
     return DACConfig(sample_rate=44100, encoder_dim=16, strides=(2, 4, 4, 4),
                      decoder_dim=256, n_codebooks=6, codebook_size=1024,
-                     codebook_dim=8, res_scale=float(1.0 / np.sqrt(2.0)),
-                     output_tanh=False)
+                     codebook_dim=8, res_scale=0.5, output_tanh=False)
 
 
 def _stft_l2(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
