@@ -95,6 +95,33 @@ def cmd_loudness(args) -> int:
     return 0
 
 
+def cmd_codec(args) -> int:
+    """DAC encode->decode roundtrip (the reference's DAC node pair as a
+    batch command; enhance_extras :750-857)."""
+    import numpy as np
+
+    from .core.audio import AudioBuffer
+    from .models.dac.model import build_dac
+    from .ops.resample import resample
+
+    buf = _load(args.infile)
+    model, params, model_sr = build_dac(args.model_type)
+    x = buf.samples
+    if buf.sample_rate != model_sr:
+        x = resample(x, buf.sample_rate, model_sr)
+    z_q, codes = model.encode(params, x)
+    rec = model.decode(params, z_q)[:, : x.shape[-1]]
+    out = AudioBuffer(rec, model_sr, dict(buf.meta))
+    _save(args.outfile, out)
+    c = np.asarray(codes)
+    print(json.dumps({"model_type": args.model_type, "sample_rate": model_sr,
+                      "codes_shape": list(c.shape),
+                      "bitrate_kbps": round(
+                          c.shape[1] * np.log2(model.cfg.codebook_size)
+                          * (model_sr / model.cfg.hop) / 1000.0, 2)}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="egregora_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -129,6 +156,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ref", required=True)
     p.add_argument("--proc", required=True)
     p.set_defaults(fn=cmd_nulltest)
+
+    p = sub.add_parser("codec", help="DAC encode/decode roundtrip")
+    p.add_argument("--in", dest="infile", required=True)
+    p.add_argument("--out", dest="outfile", required=True)
+    p.add_argument("--model-type", default="44khz",
+                   choices=("44khz", "24khz", "16khz"))
+    p.set_defaults(fn=cmd_codec)
 
     p = sub.add_parser("loudness", help="BS.1770-style loudness report")
     p.add_argument("--in", dest="infile", required=True)
