@@ -50,3 +50,19 @@ def test_nulltest_cmd(wav, capsys):
     rep = json.loads(capsys.readouterr().out.strip())
     assert rep["null_rms_dbfs"] < -25  # 1-sample xcorr bias bounds the null
     assert "delay_ms" in rep and "gain_db" in rep
+
+
+def test_codec_cmd(wav, tmp_path, capsys, monkeypatch):
+    from egregora_tpu.models.dac import model as dacm
+    monkeypatch.setenv("EGREGORA_TPU_WEIGHTS", str(tmp_path))
+    dacm._CACHE.clear()
+    out = str(tmp_path / "rt.wav")
+    assert main(["codec", "--in", wav, "--out", out,
+                 "--model-type", "44khz"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert rep["sample_rate"] == 44100
+    n_q, frames = rep["codes_shape"][1], rep["codes_shape"][2]
+    assert n_q >= 4 and frames > 0
+    y, sr = read_audio(out)
+    assert sr == 44100 and np.isfinite(y).all()
+    dacm._CACHE.clear()
