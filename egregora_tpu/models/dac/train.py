@@ -37,9 +37,11 @@ def distilled_config(model_type: str = "44khz") -> DACConfig:
     # for reconstruction quality, which is the right trade for an
     # in-repo functional stand-in.  Upstream conversion configs
     # (MODEL_TYPES) keep the real strides.
+    # 6 books / dim 8 is the stable point: a 9-book/dim-16 VQ phase
+    # diverged (latent-match loss 178 -> 999 over 6k steps)
     return DACConfig(sample_rate=44100, encoder_dim=16, strides=(2, 4, 4, 4),
-                     decoder_dim=256, n_codebooks=9, codebook_size=1024,
-                     codebook_dim=16, res_scale=0.5, output_tanh=False)
+                     decoder_dim=256, n_codebooks=6, codebook_size=1024,
+                     codebook_dim=8, res_scale=0.5, output_tanh=False)
 
 
 def _stft_l2(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
