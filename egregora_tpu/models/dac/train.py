@@ -131,6 +131,48 @@ def init_codebooks_from_data(model: DACModel, params: dict,
     return out
 
 
+def make_dead_code_restart(model: DACModel):
+    """Jitted dead-code restart: recompute assignments over a fresh
+    batch, and replace every UNUSED codebook row with a random projected
+    residual sample (+1% noise).  Codebook utilization collapsed to a
+    few dozen of 1024 entries per book during joint VQ training without
+    this — the standard VQ-VAE 'random restart' countermeasure."""
+    cfg = model.cfg
+
+    @jax.jit
+    def restart(params, wav, key):
+        z = model.encoder.apply(params["encoder"], wav[..., None])
+        rvq = dict(params["rvq"]["params"])
+        residual = z
+        for i in range(cfg.n_codebooks):
+            win = rvq[f"proj_in_{i}"]["kernel"]
+            bin_ = rvq[f"proj_in_{i}"]["bias"]
+            book = rvq[f"codebook_{i}"]
+            r = residual @ win + bin_                       # [B, T, d]
+            d2 = (jnp.sum(r ** 2, -1, keepdims=True) - 2.0 * r @ book.T
+                  + jnp.sum(book ** 2, -1)[None, None, :])
+            idx = jnp.argmin(d2, -1)
+            used = jnp.zeros((cfg.codebook_size,)).at[idx.reshape(-1)].add(1.0)
+            r_flat = r.reshape(-1, cfg.codebook_dim)
+            key, k1, k2 = jax.random.split(key, 3)
+            picks = r_flat[jax.random.randint(k1, (cfg.codebook_size,), 0,
+                                              r_flat.shape[0])]
+            picks = picks * (1.0 + 0.01 * jax.random.normal(
+                k2, picks.shape))
+            book = jnp.where((used == 0.0)[:, None], picks, book)
+            rvq[f"codebook_{i}"] = book
+            d2 = (jnp.sum(r ** 2, -1, keepdims=True) - 2.0 * r @ book.T
+                  + jnp.sum(book ** 2, -1)[None, None, :])
+            q = (book[jnp.argmin(d2, -1)] @ rvq[f"proj_out_{i}"]["kernel"]
+                 + rvq[f"proj_out_{i}"]["bias"])
+            residual = residual - q
+        out = dict(params)
+        out["rvq"] = {"params": rvq}
+        return out
+
+    return restart
+
+
 def make_scan_step(model: DACModel, tx: optax.GradientTransformation,
                    batch: int, length: int, sr: int, scan_size: int,
                    loss=loss_fn):
@@ -159,9 +201,15 @@ def make_scan_step(model: DACModel, tx: optax.GradientTransformation,
 
 
 def _run_phase(model, params, tag, loss, steps, batch, length, lr, key,
-               scan_size, log_every):
+               scan_size, log_every, restart_every: int = 0):
+    """``restart_every``: dead-code restart cadence in optimizer steps
+    (0 = off).  Restarting resets unused codebook rows to fresh
+    residual samples; the optimizer state for codebooks is left as-is
+    (adam moments for untouched-by-grads rows are ~0 anyway)."""
     if steps <= 0:
         return params
+    from ..flashsr.distill import synth_pair_batch
+
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(optax.cosine_decay_schedule(lr, steps, 0.1),
@@ -170,9 +218,17 @@ def _run_phase(model, params, tag, loss, steps, batch, length, lr, key,
     sr = model.cfg.sample_rate
     sz = max(1, scan_size)
     step = make_scan_step(model, tx, batch, length, sr, sz, loss=loss)
+    restart = make_dead_code_restart(model) if restart_every else None
+    since_restart = 0
     for i in range(0, steps, sz):
         key, k = jax.random.split(key)
         params, opt_state, lv = step(params, opt_state, k)
+        since_restart += sz
+        if restart and since_restart >= restart_every and i + sz < steps:
+            since_restart = 0
+            key, kd, kr = jax.random.split(key, 3)
+            _, warm = synth_pair_batch(kd, batch, length, sr=sr)
+            params = restart(params, warm, kr)
         if log_every:
             print(f"[dac-distill:{tag}] step {i}..{i + sz - 1} "
                   f"mean loss {float(lv):.4f}", flush=True)
@@ -199,8 +255,12 @@ def train(cfg: DACConfig = None, steps: int = 2000, batch: int = 8,
                         length, lr, ka, scan_size, log_every)
     _, warm = synth_pair_batch(kc, batch, length, sr=cfg.sample_rate)
     params = init_codebooks_from_data(model, params, warm, seed=seed)
+    # dead-code restarts are OFF by default: at cadence 200 the abrupt
+    # codebook swaps destabilized the joint phase (loss 27 -> 62k);
+    # the machinery stays for offline experiments at gentler cadences
     params = _run_phase(model, params, "vq", loss_fn, steps - ae_steps, batch,
-                        length, lr * 0.5, kb, scan_size, log_every)
+                        length, lr * 0.5, kb, scan_size, log_every,
+                        restart_every=0)
     return model, params
 
 
