@@ -179,6 +179,33 @@ class LDMUNet(nn.Module):
         return _zeros_conv(c.out_channels, "out_2", c.dtype)(h).astype(jnp.float32)
 
 
+def attn_qkv_transforms(num_heads: int):
+    """Converter transforms for the upstream AttentionBlock's fused qkv.
+
+    Upstream (use_new_attention_order=False, the CompVis/LDM default)
+    feeds qkv through QKVAttentionLegacy, which reads the 3C out-channels
+    HEAD-MAJOR: ``reshape(B*H, 3*hd, N)`` then split — channel index
+    ``h*(3*hd) + s*hd + d`` for head h, slot s in (q,k,v), dim d.
+    ``LDMAttentionBlock`` splits 3C into three C blocks (slot-major:
+    ``s*C + h*hd + d``), so converted kernels/biases permute
+    (h, s, d) -> (s, h, d).  Returns ``(kernel_tr, bias_tr)``.
+    """
+
+    def qkv_kernel(v):
+        w = v[:, :, 0] if v.ndim == 3 else v          # conv1d -> [3C, Cin]
+        oc = w.shape[0]
+        hd = oc // (3 * num_heads)
+        w = (w.reshape(num_heads, 3, hd, -1)
+             .transpose(1, 0, 2, 3).reshape(oc, -1))
+        return w.T                                     # dense [Cin, 3C]
+
+    def qkv_bias(v):
+        hd = v.shape[0] // (3 * num_heads)
+        return v.reshape(num_heads, 3, hd).transpose(1, 0, 2).reshape(-1)
+
+    return qkv_kernel, qkv_bias
+
+
 def ldm_unet_name_map(cfg: LDMUNetConfig = LDMUNetConfig()):
     """Upstream ``UNetModel`` torch keys -> this tree ('/'-joined), built
     by replaying the exact block/channel bookkeeping of the forward."""
@@ -206,9 +233,12 @@ def ldm_unet_name_map(cfg: LDMUNetConfig = LDMUNetConfig()):
         if ch_in != ch_out:
             conv(f"{t}.skip_connection", f"{f}/skip_connection")
 
+    qkv_kernel, qkv_bias = attn_qkv_transforms(cfg.num_heads)
+
     def attn(t, f):
         gn(f"{t}.norm", f"{f}/norm")
-        dense(f"{t}.qkv", f"{f}/qkv")
+        m[f"{t}.qkv.weight"] = (f"params/{f}/qkv/kernel", qkv_kernel)
+        m[f"{t}.qkv.bias"] = (f"params/{f}/qkv/bias", qkv_bias)
         dense(f"{t}.proj_out", f"{f}/proj_out")
 
     mc = cfg.model_channels

@@ -56,7 +56,12 @@ def chunk_batch(x_cs: jnp.ndarray, win: int, hop: int,
     k = len(spans)
     k_pad = -(-k // pad_to_multiple) * pad_to_multiple
 
-    starts = np.zeros(k_pad, dtype=np.int32)
+    # Dummy (padding) rows CONTINUE the regular i*hop grid — zero-filled
+    # starts would fail _regular_hop's grid check and silently demote
+    # wola_stitch to the scalar-slow scatter path whenever pad_to_multiple
+    # adds rows (the normal mesh case).  Lengths stay 0, so dummy rows
+    # contribute nothing in either stitch path.
+    starts = (np.arange(k_pad, dtype=np.int64) * hop).astype(np.int32)
     lengths = np.zeros(k_pad, dtype=np.int32)
     for i, (s, l) in enumerate(spans):
         starts[i], lengths[i] = s, l

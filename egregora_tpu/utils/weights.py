@@ -161,10 +161,13 @@ def convert_state_dict(torch_sd: Dict[str, np.ndarray], target_tree: Any,
             continue
         want = tuple(remaining[fk].shape)
         v = tv
+        # callable transforms are authoritative: applied even when shapes
+        # already agree (e.g. a same-shape channel-order permutation like
+        # the CompVis head-major qkv bias)
+        if callable(perm_override):
+            v = np.asarray(perm_override(v))
         if v.shape != want:
-            if callable(perm_override):        # arbitrary layout transform
-                v = np.asarray(perm_override(v))
-            elif perm_override is not None:
+            if perm_override is not None and not callable(perm_override):
                 v = np.transpose(v, perm_override)
             elif transpose_linear:
                 if v.ndim == 2 and v.T.shape == want:

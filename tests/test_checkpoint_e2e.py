@@ -70,15 +70,24 @@ def test_pth_trio_converts_and_runs(tmp_path):
     # convs [out, in, 1], time_embed/emb_layers as Linear [out, in])
     flat_unet = _flatten(params["student_ldm"])
     raw_unet = ldm_unet_name_map(cfg.unet).__self__
+    H = cfg.unet.num_heads
     sd_unet = {}
     for tk, fk in raw_unet.items():
         tr = None
         if isinstance(fk, tuple):
             fk, tr = fk
         w = np.asarray(flat_unet[fk], np.float32)
-        if callable(tr):
-            sd_unet[tk] = (w.T[:, :, None]
-                           if ("qkv" in tk or "proj_out" in tk) else w.T)
+        if callable(tr) and tk.endswith("qkv.weight"):
+            # inverse of attn_qkv_transforms: flax slot-major [Cin, 3C]
+            # -> torch conv1d [3C, Cin, 1] head-major (QKVAttentionLegacy)
+            oc = w.shape[1]
+            hd = oc // (3 * H)
+            t = w.T.reshape(3, H, hd, -1).transpose(1, 0, 2, 3).reshape(oc, -1)
+            sd_unet[tk] = t[:, :, None]
+        elif callable(tr) and tk.endswith("qkv.bias"):
+            sd_unet[tk] = w.reshape(3, H, -1).transpose(1, 0, 2).reshape(-1)
+        elif callable(tr):
+            sd_unet[tk] = w.T[:, :, None] if "proj_out" in tk else w.T
         elif w.ndim >= 3 and tk.endswith("weight"):
             sd_unet[tk] = np.transpose(
                 w, np.argsort(tuple(range(2, w.ndim)) + (1, 0)))

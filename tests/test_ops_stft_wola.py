@@ -81,6 +81,11 @@ def test_chunk_batch_pad_to_multiple(rng):
     chunks, starts, lengths = chunk_batch(jnp.asarray(x), 400, 300, pad_to_multiple=8)
     assert chunks.shape[0] == 8  # 3 real chunks padded to 8
     assert (lengths[3:] == 0).all()
+    # dummy rows must CONTINUE the i*hop grid so wola_stitch keeps the
+    # dense two-track path (zero-filled starts used to demote the whole
+    # mesh-padded fused pipeline to the scalar-slow scatter stitch)
+    from egregora_tpu.ops.wola import _regular_hop
+    assert _regular_hop(starts, 400) == 300
     out = np.asarray(wola_stitch(chunks, starts, lengths, 1000, 400))
     np.testing.assert_allclose(out[:, 1:-1], x[:, 1:-1], atol=1e-5)
 

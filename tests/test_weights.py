@@ -214,15 +214,24 @@ def test_ldm_unet_checkpoint_layout_loads():
     assert flax_paths == set(flat), (
         sorted(set(flat) - flax_paths)[:6], sorted(flax_paths - set(flat))[:6])
     rng = np.random.default_rng(12)
+    H = cfg.num_heads
     sd = {}
     for tk, fk in raw.items():
         tr = None
         if isinstance(fk, tuple):
             fk, tr = fk
         w = rng.standard_normal(flat[fk].shape).astype(np.float32)
-        if callable(tr):        # dense_t: Linear [out,in] or conv1d [out,in,1]
-            sd[tk] = (w.T[:, :, None]
-                      if ("qkv" in tk or "proj_out" in tk) else w.T)
+        if callable(tr) and tk.endswith("qkv.weight"):
+            # inverse of attn_qkv_transforms kernel: flax [Cin, 3C]
+            # slot-major -> torch conv1d [3C, Cin, 1] head-major
+            oc = w.shape[1]
+            hd = oc // (3 * H)
+            t = w.T.reshape(3, H, hd, -1).transpose(1, 0, 2, 3).reshape(oc, -1)
+            sd[tk] = t[:, :, None]
+        elif callable(tr) and tk.endswith("qkv.bias"):
+            sd[tk] = (w.reshape(3, H, -1).transpose(1, 0, 2).reshape(-1))
+        elif callable(tr):      # dense_t: Linear [out,in] or conv1d [out,in,1]
+            sd[tk] = w.T[:, :, None] if "proj_out" in tk else w.T
         elif w.ndim >= 3 and tk.endswith("weight"):
             sd[tk] = np.transpose(w, np.argsort(tuple(range(2, w.ndim)) + (1, 0)))
         elif w.ndim == 2 and tk.endswith("weight"):
@@ -306,3 +315,61 @@ def test_dac_checkpoint_layout_loads():
     np.testing.assert_array_equal(
         got["encoder/params/EncoderBlock_0/Snake_0/alpha"],
         sd["encoder.block.1.block.3.alpha"].reshape(-1))
+
+
+def test_ldm_attention_legacy_qkv_order():
+    """Converted AttentionBlock params reproduce the UPSTREAM forward —
+    an independent numpy implementation of CompVis AttentionBlock with
+    QKVAttentionLegacy's HEAD-MAJOR fused-qkv channel order (head0:
+    q,k,v | head1: q,k,v | ...), the layout real student_ldm.pth
+    checkpoints use (use_new_attention_order=False default)."""
+    from egregora_tpu.models.flashsr.ldm_unet import (LDMAttentionBlock,
+                                                      attn_qkv_transforms)
+
+    B, F, M, C, H, G = 1, 4, 3, 8, 2, 4
+    N, hd = F * M, C // H
+    rng = np.random.default_rng(3)
+    gn_w = rng.standard_normal(C).astype(np.float32)
+    gn_b = rng.standard_normal(C).astype(np.float32)
+    qkv_w = rng.standard_normal((3 * C, C, 1)).astype(np.float32)
+    qkv_b = rng.standard_normal(3 * C).astype(np.float32)
+    pr_w = rng.standard_normal((C, C, 1)).astype(np.float32)
+    pr_b = rng.standard_normal(C).astype(np.float32)
+    x = rng.standard_normal((B, C, N)).astype(np.float32)  # torch [B,C,N]
+
+    # --- upstream forward in numpy ---
+    xg = x.reshape(B, G, C // G, N)
+    mu = xg.mean(axis=(2, 3), keepdims=True)
+    var = xg.var(axis=(2, 3), keepdims=True)
+    h = ((xg - mu) / np.sqrt(var + 1e-6)).reshape(B, C, N)
+    h = h * gn_w[None, :, None] + gn_b[None, :, None]
+    qkv = np.einsum("oc,bcn->bon", qkv_w[:, :, 0], h) + qkv_b[None, :, None]
+    # QKVAttentionLegacy: reshape [B*H, 3*hd, N], split into q/k/v
+    qkv = qkv.reshape(B * H, 3 * hd, N)
+    q, k, v = qkv[:, :hd], qkv[:, hd:2 * hd], qkv[:, 2 * hd:]
+    scale = 1.0 / np.sqrt(np.sqrt(hd))
+    w = np.einsum("bct,bcs->bts", q * scale, k * scale)
+    w = np.exp(w - w.max(axis=-1, keepdims=True))
+    w = w / w.sum(axis=-1, keepdims=True)
+    a = np.einsum("bts,bcs->bct", w, v).reshape(B, C, N)
+    proj = np.einsum("oc,bcn->bon", pr_w[:, :, 0], a) + pr_b[None, :, None]
+    ref = x + proj
+
+    # --- ours, through the converter transforms ---
+    blk = LDMAttentionBlock(num_heads=H, groups=G, dtype=jnp.float32)
+    x_nhwc = jnp.asarray(x.reshape(B, C, F, M).transpose(0, 2, 3, 1))
+    target = blk.init(jax.random.PRNGKey(0), x_nhwc)
+    kt, bt = attn_qkv_transforms(H)
+    sd = {"norm.weight": gn_w, "norm.bias": gn_b,
+          "qkv.weight": qkv_w, "qkv.bias": qkv_b,
+          "proj_out.weight": pr_w, "proj_out.bias": pr_b}
+    nm = {"norm.weight": "params/norm/scale", "norm.bias": "params/norm/bias",
+          "qkv.weight": ("params/qkv/kernel", kt),
+          "qkv.bias": ("params/qkv/bias", bt),
+          "proj_out.weight": ("params/proj_out/kernel",
+                              lambda v: v[:, :, 0].T),
+          "proj_out.bias": "params/proj_out/bias"}
+    params = convert_state_dict(sd, target, name_map=nm.get)
+    y = np.asarray(blk.apply(params, x_nhwc))
+    y_bcn = y.transpose(0, 3, 1, 2).reshape(B, C, N)
+    np.testing.assert_allclose(y_bcn, ref, atol=2e-4)
