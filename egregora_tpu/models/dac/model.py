@@ -50,6 +50,13 @@ class DACConfig:
     # saturation an absorbing state under training (observed repeatedly
     # in overfit probes — mse pinned at signal+1.0, zero gradients)
     output_tanh: bool = True
+    # Snake alpha floor: 0.0 (off) for converted upstream checkpoints —
+    # flooring would silently change outputs for any learned alpha below
+    # the floor (x + sin^2(ax)/(a+1e-9) upstream).  The distilled
+    # training configs set 0.05: as alpha -> 0 the term tends to
+    # alpha*x^2, a quadratic amplifier that measurably exploded latent
+    # RMS (18 -> 655) during in-repo distillation.
+    alpha_floor: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -71,26 +78,27 @@ MODEL_TYPES = {
 }
 
 
-def snake(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+def snake(x: jnp.ndarray, alpha: jnp.ndarray, floor: float = 0.0) -> jnp.ndarray:
     """Snake activation ``x + sin^2(alpha x)/alpha`` (periodic inductive
     bias for audio; DAC/BigVGAN lineage).
 
-    ``alpha`` is floored at 0.05: as alpha -> 0 the term tends to
-    ``alpha * x^2`` — a quadratic amplifier that measurably exploded
-    latent RMS (18 -> 655) during in-repo distillation.  Converted
-    upstream checkpoints carry alpha ~ 1, for which the floor is a
-    no-op."""
-    a = jnp.maximum(alpha, 0.05)[None, None, :]
-    return x + jnp.sin(a * x) ** 2 / a
+    ``floor`` > 0 clamps alpha from below (distilled-training configs:
+    as alpha -> 0 the term tends to ``alpha * x^2``, a quadratic
+    amplifier that measurably exploded latent RMS 18 -> 655).  Converted
+    upstream checkpoints run floor=0.0 — exact upstream semantics
+    ``x + sin^2(ax)/(a+1e-9)`` whatever alpha the checkpoint learned."""
+    a = (jnp.maximum(alpha, floor) if floor > 0.0 else alpha)[None, None, :]
+    return x + jnp.sin(a * x) ** 2 / (a + 1e-9)
 
 
 class Snake(nn.Module):
     channels: int
+    floor: float = 0.0
 
     @nn.compact
     def __call__(self, x):
         alpha = self.param("alpha", nn.initializers.ones, (self.channels,))
-        return snake(x, alpha)
+        return snake(x, alpha, self.floor)
 
 
 class ResidualUnit(nn.Module):
@@ -98,13 +106,14 @@ class ResidualUnit(nn.Module):
     dilation: int
     dtype: jnp.dtype
     res_scale: float = 1.0
+    alpha_floor: float = 0.0
 
     @nn.compact
     def __call__(self, x):
-        h = Snake(self.channels)(x)
+        h = Snake(self.channels, self.alpha_floor)(x)
         h = nn.Conv(self.channels, (7,), kernel_dilation=(self.dilation,),
                     dtype=self.dtype)(h)
-        h = Snake(self.channels)(h)
+        h = Snake(self.channels, self.alpha_floor)(h)
         h = nn.Conv(self.channels, (1,), dtype=self.dtype)(h)
         # scale ONLY the residual branch: scaling the sum (x+h) decays
         # the identity path by res_scale^12 across a coder (~0.016 at
@@ -117,13 +126,15 @@ class EncoderBlock(nn.Module):
     stride: int
     dtype: jnp.dtype
     res_scale: float = 1.0
+    alpha_floor: float = 0.0
 
     @nn.compact
     def __call__(self, x):
         ch = x.shape[-1]
         for d in (1, 3, 9):
-            x = ResidualUnit(ch, d, self.dtype, self.res_scale)(x)
-        x = Snake(ch)(x)
+            x = ResidualUnit(ch, d, self.dtype, self.res_scale,
+                             self.alpha_floor)(x)
+        x = Snake(ch, self.alpha_floor)(x)
         return nn.Conv(self.out_channels, (2 * self.stride,),
                        strides=(self.stride,), dtype=self.dtype)(x)
 
@@ -133,14 +144,16 @@ class DecoderBlock(nn.Module):
     stride: int
     dtype: jnp.dtype
     res_scale: float = 1.0
+    alpha_floor: float = 0.0
 
     @nn.compact
     def __call__(self, x):
-        x = Snake(x.shape[-1])(x)
+        x = Snake(x.shape[-1], self.alpha_floor)(x)
         x = nn.ConvTranspose(self.out_channels, (2 * self.stride,),
                              strides=(self.stride,), dtype=self.dtype)(x)
         for d in (1, 3, 9):
-            x = ResidualUnit(self.out_channels, d, self.dtype, self.res_scale)(x)
+            x = ResidualUnit(self.out_channels, d, self.dtype,
+                             self.res_scale, self.alpha_floor)(x)
         return x
 
 
@@ -155,8 +168,8 @@ class DACEncoder(nn.Module):
         ch = c.encoder_dim
         for s in c.strides:
             ch *= 2
-            h = EncoderBlock(ch, s, c.dtype, c.res_scale)(h)
-        h = Snake(ch)(h)
+            h = EncoderBlock(ch, s, c.dtype, c.res_scale, c.alpha_floor)(h)
+        h = Snake(ch, c.alpha_floor)(h)
         return nn.Conv(c.latent_dim, (3,), dtype=c.dtype)(h).astype(jnp.float32)
 
 
@@ -171,8 +184,8 @@ class DACDecoder(nn.Module):
         ch = c.decoder_dim
         for s in reversed(c.strides):
             ch //= 2
-            h = DecoderBlock(ch, s, c.dtype, c.res_scale)(h)
-        h = Snake(ch)(h)
+            h = DecoderBlock(ch, s, c.dtype, c.res_scale, c.alpha_floor)(h)
+        h = Snake(ch, c.alpha_floor)(h)
         # zero-init: the un-weight-normed Snake stack reaches this layer
         # with std ~14, which saturates tanh at any reasonable kernel
         # scale and kills training gradients; init only (converted real
@@ -188,7 +201,8 @@ class ResidualVQ(nn.Module):
     cfg: DACConfig
 
     @nn.compact
-    def __call__(self, z, with_losses: bool = False):
+    def __call__(self, z, with_losses: bool = False,
+                 collect_stage_data: bool = False):
         """``[B, T, D] -> (z_q [B, T, D], codes [B, n_q, T])``.
 
         ``with_losses=True`` (training) additionally returns
@@ -196,11 +210,15 @@ class ResidualVQ(nn.Module):
         encoder toward its quantized projection) and the codebook loss
         (pulls codebook entries toward the encoder projections), both in
         the per-stage projected space — the straight-through estimator's
-        standard companion terms."""
+        standard companion terms.  ``collect_stage_data=True``
+        additionally appends ``r_stack [n_q, B, T, d]``, the per-stage
+        projected residuals (stop-gradient) that EMA codebook updates
+        consume."""
         c = self.cfg
         residual = z
         z_q = jnp.zeros_like(z)
         codes = []
+        r_stages = []
         commit = codebook_loss = 0.0
         for i in range(c.n_codebooks):
             proj_in = nn.Dense(c.codebook_dim, name=f"proj_in_{i}",
@@ -215,6 +233,8 @@ class ResidualVQ(nn.Module):
                   + jnp.sum(book ** 2, -1)[None, None, :])      # [B, T, K]
             idx = jnp.argmin(d2, axis=-1)                       # [B, T]
             q_r = book[idx]                                     # [B, T, d]
+            if collect_stage_data:
+                r_stages.append(jax.lax.stop_gradient(r))
             if with_losses:
                 # scale-invariant: the un-weight-normed encoder's output
                 # magnitude is init-dependent; normalizing by sg(E[r^2])
@@ -231,6 +251,9 @@ class ResidualVQ(nn.Module):
             z_q = z_q + q
             residual = residual - q
             codes.append(idx)
+        if with_losses and collect_stage_data:
+            return (z_q, jnp.stack(codes, axis=1), commit, codebook_loss,
+                    jnp.stack(r_stages, axis=0))
         if with_losses:
             return z_q, jnp.stack(codes, axis=1), commit, codebook_loss
         return z_q, jnp.stack(codes, axis=1)
@@ -304,6 +327,13 @@ def build_dac(model_type: str = "44khz", seed: int = 0):
                 cfg, params = shipped
                 model = DACModel(cfg)
             else:
+                # fail-loud, matching the weight store's FlashSR report
+                # (install.py): a random-init codec roundtrip is garbage
+                print(f"[egregora] WARNING: no DAC weights for "
+                      f"{model_type!r} (no converted checkpoint at "
+                      f"{cache} and no shipped distilled weights) — "
+                      f"serving RANDOM-INIT params; encode/decode output "
+                      f"will be garbage", flush=True)
                 params = model.init_params(seed)
         _CACHE[model_type] = (model, params, cfg.sample_rate)
     return _CACHE[model_type]

@@ -24,24 +24,31 @@ import optax
 
 from .model import DACConfig, DACModel
 
-PRETRAINED = {"44khz": Path(__file__).parent / "pretrained_44khz.npz"}
+PRETRAINED = {t: Path(__file__).parent / f"pretrained_{t}.npz"
+              for t in ("44khz", "24khz", "16khz")}
+
+_RATES = {"44khz": 44100, "24khz": 24000, "16khz": 16000}
 
 
 def distilled_config(model_type: str = "44khz") -> DACConfig:
-    """Compact trio of the upstream 44 kHz structure (same strides ->
-    same hop/code rate, fewer channels/codebooks)."""
-    assert model_type == "44khz", "shipped distilled weights are 44khz-only"
+    """Compact trio of the upstream structure (fewer channels/codebooks;
+    one geometry per advertised model_type, like the reference's three
+    auto-downloaded checkpoints)."""
+    if model_type not in _RATES:
+        raise ValueError(f"unknown DAC model_type {model_type!r}")
     # hop 128 (vs upstream 512): a plain L2+STFT-trained compact AE
     # plateaued ~0 dB SNR at hop 512 (too much temporal compression
     # without adversarial training); 4x the frame rate trades bitrate
     # for reconstruction quality, which is the right trade for an
     # in-repo functional stand-in.  Upstream conversion configs
     # (MODEL_TYPES) keep the real strides.
-    # 6 books / dim 8 is the stable point: a 9-book/dim-16 VQ phase
-    # diverged (latent-match loss 178 -> 999 over 6k steps)
-    return DACConfig(sample_rate=44100, encoder_dim=16, strides=(2, 4, 4, 4),
-                     decoder_dim=256, n_codebooks=6, codebook_size=1024,
-                     codebook_dim=8, res_scale=0.5, output_tanh=False)
+    # 9 books / dim 8 under EMA codebook updates (round 2's
+    # gradient-trained 9-book VQ diverged; EMA + continuous dead-code
+    # restarts is the standard stabilization and holds utilization high)
+    return DACConfig(sample_rate=_RATES[model_type], encoder_dim=24,
+                     strides=(2, 4, 4, 4), decoder_dim=384, n_codebooks=9,
+                     codebook_size=1024, codebook_dim=8, res_scale=0.5,
+                     output_tanh=False, alpha_floor=0.05)
 
 
 def _stft_l2(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -82,6 +89,128 @@ def loss_fn(model: DACModel, params: dict, wav: jnp.ndarray) -> jnp.ndarray:
     latent_match = jnp.mean(jnp.square(z_q - jax.lax.stop_gradient(z))) / denom_z
     return (20.0 * wave_l2 + _stft_l2(rec, wav) + 0.25 * commit + codebook
             + latent_match + 0.5 * scale_reg)
+
+
+def ema_loss_fn(model: DACModel, params: dict, wav: jnp.ndarray):
+    """EMA-phase objective: ``loss_fn`` WITHOUT the codebook gradient
+    term — EMA cluster statistics move the codebooks (VQ-VAE/Jukebox
+    style), which held utilization high where the round-2 gradient
+    codebook loss collapsed or needed destabilizing cadence restarts.
+    Returns ``(loss, (codes, r_stack))`` for the EMA update."""
+    z = model.encoder.apply(params["encoder"], wav[..., None])
+    z_q, codes, commit, _, r_stack = model.rvq.apply(
+        params["rvq"], z, with_losses=True, collect_stage_data=True)
+    rec = model.decoder.apply(params["decoder"], z_q)[:, : wav.shape[-1]]
+    wave_l2 = jnp.mean(jnp.square(rec - wav))
+    rms = jnp.sqrt(jnp.mean(jnp.square(z)) + 1e-9)
+    scale_reg = jnp.square(rms - 1.0)
+    denom_z = jax.lax.stop_gradient(jnp.mean(jnp.square(z))) + 1e-6
+    latent_match = jnp.mean(jnp.square(z_q - jax.lax.stop_gradient(z))) / denom_z
+    loss = (20.0 * wave_l2 + _stft_l2(rec, wav) + 0.25 * commit
+            + latent_match + 0.5 * scale_reg)
+    return loss, (codes, r_stack)
+
+
+def init_ema_state(cfg: DACConfig, params: dict) -> dict:
+    """EMA cluster stats seeded from the current codebooks with unit
+    cluster mass (so ``sums/counts`` reproduces the books exactly)."""
+    books = jnp.stack([params["rvq"]["params"][f"codebook_{i}"]
+                       for i in range(cfg.n_codebooks)])
+    counts = jnp.ones((cfg.n_codebooks, cfg.codebook_size), jnp.float32)
+    return {"counts": counts, "sums": books * counts[..., None]}
+
+
+def ema_codebook_update(cfg: DACConfig, params: dict, ema: dict,
+                        codes: jnp.ndarray, r_stack: jnp.ndarray,
+                        key: jax.Array, decay: float = 0.99,
+                        restart_thresh: float = 0.03):
+    """One EMA step per stage: counts/sums track this batch's cluster
+    assignments; books = sums/counts.  Rows whose EMA cluster mass
+    decays below ``restart_thresh`` restart CONTINUOUSLY to a random
+    projected-residual sample — the gentle replacement for the abrupt
+    cadence-restarts that destabilized round-2 training (commit 4b89cab).
+
+    ``codes [B, n_q, T]``, ``r_stack [n_q, B, T, d]``.  Returns
+    ``(params, ema)`` with the codebook leaves overwritten (any
+    optimizer drift on codebook params is discarded by design)."""
+    rvq = dict(params["rvq"]["params"])
+    counts, sums = ema["counts"], ema["sums"]
+    new_counts, new_sums = [], []
+    for i in range(cfg.n_codebooks):
+        idx = codes[:, i].reshape(-1)                          # [N]
+        r = r_stack[i].reshape(-1, cfg.codebook_dim)           # [N, d]
+        onehot = jax.nn.one_hot(idx, cfg.codebook_size, dtype=jnp.float32)
+        n = decay * counts[i] + (1.0 - decay) * onehot.sum(0)
+        s = decay * sums[i] + (1.0 - decay) * (onehot.T @ r)
+        key, k1, k2 = jax.random.split(key, 3)
+        picks = r[jax.random.randint(k1, (cfg.codebook_size,), 0, r.shape[0])]
+        picks = picks * (1.0 + 0.01 * jax.random.normal(k2, picks.shape))
+        dead = n < restart_thresh
+        n = jnp.where(dead, 1.0, n)
+        s = jnp.where(dead[:, None], picks, s)
+        rvq[f"codebook_{i}"] = s / (n[:, None] + 1e-7)
+        new_counts.append(n)
+        new_sums.append(s)
+    out = dict(params)
+    out["rvq"] = {"params": rvq}
+    return out, {"counts": jnp.stack(new_counts),
+                 "sums": jnp.stack(new_sums)}
+
+
+def make_ema_scan_step(model: DACModel, tx: optax.GradientTransformation,
+                       batch: int, length: int, sr: int, scan_size: int):
+    """EMA-phase analog of ``make_scan_step``: gradient step on
+    encoder/decoder/projections + EMA codebook step, ``scan_size`` of
+    them per dispatch."""
+    from ..flashsr.distill import synth_pair_batch
+
+    cfg = model.cfg
+
+    def one(carry, k):
+        params, opt_state, ema = carry
+        kd, kr = jax.random.split(k)
+        _, hr = synth_pair_batch(kd, batch, length, sr=sr)
+        (lv, (codes, r_stack)), grads = jax.value_and_grad(
+            functools.partial(ema_loss_fn, model), has_aux=True)(params, hr)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params, ema = ema_codebook_update(cfg, params, ema, codes, r_stack, kr)
+        return (params, opt_state, ema), lv
+
+    @jax.jit
+    def steps(params, opt_state, ema, key):
+        keys = jax.random.split(key, scan_size)
+        (params, opt_state, ema), losses = jax.lax.scan(
+            one, (params, opt_state, ema), keys)
+        return params, opt_state, ema, jnp.mean(losses)
+
+    return steps
+
+
+def make_eval_snr(model: DACModel, n: int = 4, length: int = None,
+                  seed: int = 555):
+    """One jitted program: held-out synth batch -> codec roundtrip SNR
+    (dB).  A single extra remote compile instead of the encode/decode
+    pair ``roundtrip_snr_db`` would trigger."""
+    from ..flashsr.distill import synth_pair_batch
+
+    cfg = model.cfg
+    length = length or cfg.sample_rate
+    pad = (-length) % cfg.hop
+
+    @jax.jit
+    def ev(params):
+        _, hr = synth_pair_batch(jax.random.PRNGKey(seed), n, length,
+                                 sr=cfg.sample_rate)
+        x = jnp.pad(hr, ((0, 0), (0, pad)))
+        z = model.encoder.apply(params["encoder"], x[..., None])
+        z_q, _ = model.rvq.apply(params["rvq"], z)
+        rec = model.decoder.apply(params["decoder"], z_q)[:, :length]
+        err = jnp.mean(jnp.square(rec - hr))
+        sig = jnp.mean(jnp.square(hr)) + 1e-12
+        return 10.0 * jnp.log10(sig / (err + 1e-12))
+
+    return ev
 
 
 def ae_loss_fn(model: DACModel, params: dict, wav: jnp.ndarray) -> jnp.ndarray:
@@ -201,14 +330,12 @@ def make_scan_step(model: DACModel, tx: optax.GradientTransformation,
 
 
 def _run_phase(model, params, tag, loss, steps, batch, length, lr, key,
-               scan_size, log_every, restart_every: int = 0):
-    """``restart_every``: dead-code restart cadence in optimizer steps
-    (0 = off).  Restarting resets unused codebook rows to fresh
-    residual samples; the optimizer state for codebooks is left as-is
-    (adam moments for untouched-by-grads rows are ~0 anyway)."""
+               scan_size, log_every, use_ema: bool = False, eval_fn=None):
+    """One optimization phase.  ``use_ema=True`` runs the EMA-codebook
+    step (``make_ema_scan_step``; ``loss`` ignored); ``eval_fn`` (from
+    ``make_eval_snr``) logs held-out roundtrip SNR alongside the loss."""
     if steps <= 0:
         return params
-    from ..flashsr.distill import synth_pair_batch
 
     tx = optax.chain(
         optax.clip_by_global_norm(1.0),
@@ -217,69 +344,104 @@ def _run_phase(model, params, tag, loss, steps, batch, length, lr, key,
     opt_state = tx.init(params)
     sr = model.cfg.sample_rate
     sz = max(1, scan_size)
-    step = make_scan_step(model, tx, batch, length, sr, sz, loss=loss)
-    restart = make_dead_code_restart(model) if restart_every else None
-    since_restart = 0
+    if use_ema:
+        step = make_ema_scan_step(model, tx, batch, length, sr, sz)
+        ema = init_ema_state(model.cfg, params)
+    else:
+        step = make_scan_step(model, tx, batch, length, sr, sz, loss=loss)
+        ema = None
+    next_log = 0
     for i in range(0, steps, sz):
         key, k = jax.random.split(key)
-        params, opt_state, lv = step(params, opt_state, k)
-        since_restart += sz
-        if restart and since_restart >= restart_every and i + sz < steps:
-            since_restart = 0
-            key, kd, kr = jax.random.split(key, 3)
-            _, warm = synth_pair_batch(kd, batch, length, sr=sr)
-            params = restart(params, warm, kr)
-        if log_every:
+        if use_ema:
+            params, opt_state, ema, lv = step(params, opt_state, ema, k)
+        else:
+            params, opt_state, lv = step(params, opt_state, k)
+        if log_every and i + sz > next_log:
+            next_log += max(log_every, sz)
+            extra = ""
+            if eval_fn is not None:
+                extra = f"  held-out SNR {float(eval_fn(params)):+.2f} dB"
             print(f"[dac-distill:{tag}] step {i}..{i + sz - 1} "
-                  f"mean loss {float(lv):.4f}", flush=True)
+                  f"mean loss {float(lv):.4f}{extra}", flush=True)
     return params
 
 
 def train(cfg: DACConfig = None, steps: int = 2000, batch: int = 8,
           length: int = 16384, lr: float = 3e-4, seed: int = 0,
-          log_every: int = 100, scan_size: int = 1, ae_frac: float = 0.5):
+          log_every: int = 100, scan_size: int = 1, ae_frac: float = 0.5,
+          model_type: str = "44khz", eval_every: bool = True):
     """Two-phase distillation: (A) plain autoencoder until the latent
-    carries the signal, then data-dependent codebook init, then (B)
-    joint VQ training.  Joint-from-scratch collapsed every codebook to
-    a single entry (measured: 1 used code per book after 4000 steps)."""
+    carries the signal, then data-dependent codebook init, then (B) VQ
+    training with EMA codebook updates + continuous dead-code restarts.
+    (Joint-from-scratch collapsed every codebook to a single entry;
+    gradient-trained codebooks needed destabilizing cadence restarts —
+    EMA is the standard fix for both.)"""
     from ..flashsr.distill import synth_pair_batch
 
-    cfg = cfg or distilled_config()
+    cfg = cfg or distilled_config(model_type)
     model = DACModel(cfg)
     params = model.init_params(seed)
     key = jax.random.PRNGKey(seed + 1)
     ae_steps = int(round(steps * ae_frac))
+    ev = make_eval_snr(model, length=min(length, cfg.sample_rate)) \
+        if eval_every else None
 
     key, ka, kc, kb = jax.random.split(key, 4)
     params = _run_phase(model, params, "ae", ae_loss_fn, ae_steps, batch,
                         length, lr, ka, scan_size, log_every)
     _, warm = synth_pair_batch(kc, batch, length, sr=cfg.sample_rate)
     params = init_codebooks_from_data(model, params, warm, seed=seed)
-    # dead-code restarts are OFF by default: at cadence 200 the abrupt
-    # codebook swaps destabilized the joint phase (loss 27 -> 62k);
-    # the machinery stays for offline experiments at gentler cadences
-    params = _run_phase(model, params, "vq", loss_fn, steps - ae_steps, batch,
+    params = _run_phase(model, params, "vq", None, steps - ae_steps, batch,
                         length, lr * 0.5, kb, scan_size, log_every,
-                        restart_every=0)
+                        use_ema=True, eval_fn=ev)
     return model, params
 
 
-def save_pretrained(params, path: Path) -> None:
+def save_pretrained(params, path: Path, cfg: DACConfig = None) -> None:
+    """Weights + the geometry that trained them (self-describing npz:
+    geometry changes to ``distilled_config`` can't silently misload an
+    older shipped weight set)."""
+    import dataclasses as _dc
+    import json as _json
+
     from ...utils.weights import _flatten
     flat = {k: np.asarray(v, np.float16) for k, v in _flatten(params).items()}
+    if cfg is not None:
+        d = _dc.asdict(cfg)
+        d["strides"] = list(d["strides"])
+        d.pop("dtype", None)
+        flat["__config__"] = np.frombuffer(
+            _json.dumps(d).encode(), dtype=np.uint8)
     path.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(path, **flat)
 
 
 def load_pretrained(model_type: str = "44khz"):
     """(config, params) for the shipped compact codec, or None."""
+    import json as _json
+
     path = PRETRAINED.get(model_type)
     if path is None or not path.exists():
         return None
     from ...utils.weights import _unflatten
     with np.load(path) as z:
-        params = _unflatten({k: z[k].astype(np.float32) for k in z.files})
-    return distilled_config(model_type), params
+        files = list(z.files)
+        if "__config__" in files:
+            d = _json.loads(bytes(z["__config__"].tobytes()).decode())
+            d["strides"] = tuple(d["strides"])
+            cfg = DACConfig(**d)
+            files.remove("__config__")
+        else:
+            # round-2 weight sets predate the embedded config; they were
+            # trained at this fixed geometry
+            cfg = DACConfig(sample_rate=_RATES[model_type], encoder_dim=16,
+                            strides=(2, 4, 4, 4), decoder_dim=256,
+                            n_codebooks=6, codebook_size=1024, codebook_dim=8,
+                            res_scale=0.5, output_tanh=False,
+                            alpha_floor=0.05)
+        params = _unflatten({k: z[k].astype(np.float32) for k in files})
+    return cfg, params
 
 
 def roundtrip_snr_db(model: DACModel, params, wav: np.ndarray) -> float:
@@ -296,11 +458,14 @@ if __name__ == "__main__":
     import argparse
 
     ap = argparse.ArgumentParser(description="Distill compact DAC weights")
+    ap.add_argument("--model-type", default="44khz",
+                    choices=sorted(_RATES))
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--length", type=int, default=16384)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ae-frac", type=float, default=0.5)
     ap.add_argument("--scan", type=int, default=1,
                     help="optimizer steps per dispatch (use ~20 on TPU)")
     ap.add_argument("--cpu", action="store_true")
@@ -309,10 +474,13 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
     print("devices:", jax.devices(), flush=True)
     model, params = train(steps=a.steps, batch=a.batch, length=a.length,
-                          lr=a.lr, seed=a.seed, scan_size=a.scan)
+                          lr=a.lr, seed=a.seed, scan_size=a.scan,
+                          ae_frac=a.ae_frac, model_type=a.model_type)
     from ..flashsr.distill import synth_pair_batch
-    _, hr = synth_pair_batch(jax.random.PRNGKey(99), 4, 44100)
+    sr = model.cfg.sample_rate
+    _, hr = synth_pair_batch(jax.random.PRNGKey(99), 4, sr, sr=sr)
     snr = roundtrip_snr_db(model, params, np.asarray(hr))
-    print(f"[dac-distill] held-out roundtrip SNR {snr:.2f} dB", flush=True)
-    save_pretrained(params, PRETRAINED["44khz"])
-    print(f"[dac-distill] wrote {PRETRAINED['44khz']}", flush=True)
+    print(f"[dac-distill:{a.model_type}] held-out roundtrip SNR "
+          f"{snr:.2f} dB", flush=True)
+    save_pretrained(params, PRETRAINED[a.model_type], cfg=model.cfg)
+    print(f"[dac-distill] wrote {PRETRAINED[a.model_type]}", flush=True)

@@ -51,11 +51,27 @@ KT, KF = 2, 3               # causal time kernel, freq kernel
 
 @dataclasses.dataclass(frozen=True)
 class DFNConfig:
+    """Per-variant topology.  DFN2: grouped GRU (G independent GRUs over
+    feature splits).  DFN3 (arXiv 2305.08227 / upstream
+    ``deepfilternet3.py``): the grouped GRU is replaced by a SQUEEZED
+    GRU — grouped linear in-projection -> ONE full-width GRU -> grouped
+    linear out-projection (``SqueezedGRU_S`` with ``linear_groups``) —
+    the reference genuinely dispatches different models per widget
+    choice (``egregora_audio_enhance_extras.py:509-517``)."""
     variant: str = "DeepFilterNet2"
     conv_ch: int = 64
     emb_dim: int = 256
     gru_groups: int = 8
     df_hidden: int = 256
+    squeezed: bool = False      # DFN3 sequence-model layout
+    linear_groups: int = 8      # grouped-linear groups (squeezed only)
+
+    @staticmethod
+    def for_variant(name: str) -> "DFNConfig":
+        if str(name) == "DeepFilterNet3":
+            return DFNConfig(variant="DeepFilterNet3", gru_groups=1,
+                             squeezed=True, linear_groups=8)
+        return DFNConfig(variant="DeepFilterNet2")
 
 
 @functools.lru_cache(maxsize=1)
@@ -111,13 +127,34 @@ def _gru_init(key, in_dim: int, units: int) -> Dict:
     }
 
 
+def _grouped_lin_init(key, groups: int, din: int, dout: int) -> Dict:
+    """Grouped linear (upstream ``GroupedLinearEinsum``): weight
+    ``[G, din/G, dout/G]``, each group with its own projection."""
+    return {"weight": jax.random.normal(key, (groups, din // groups,
+                                              dout // groups))
+            / np.sqrt(din // groups)}
+
+
 def init_params(seed: int = 0, cfg: DFNConfig = DFNConfig()) -> Dict:
     k = jax.random.split(jax.random.PRNGKey(seed), 20)
     c = cfg
     ch = c.conv_ch
     g = max(1, c.gru_groups)
     assert c.emb_dim % g == 0, "emb_dim must divide gru_groups"
+    if c.squeezed:
+        ks = jax.random.split(k[8], 3)
+        seq = {"gru_squeezed": {
+            "lin_in": _grouped_lin_init(ks[0], c.linear_groups,
+                                        c.emb_dim, c.emb_dim),
+            "gru": _gru_init(ks[1], c.emb_dim, c.emb_dim),
+            "lin_out": _grouped_lin_init(ks[2], c.linear_groups,
+                                         c.emb_dim, c.emb_dim),
+        }}
+    else:
+        seq = {"gru": {str(i): _gru_init(kk, c.emb_dim // g, c.emb_dim // g)
+                       for i, kk in enumerate(jax.random.split(k[8], g))}}
     return {
+        **seq,
         "enc": {
             "erb_conv0": _conv_init(k[0], 1, ch),
             "erb_conv1": _conv_init(k[1], ch, ch),      # stride (1,2)
@@ -128,9 +165,6 @@ def init_params(seed: int = 0, cfg: DFNConfig = DFNConfig()) -> Dict:
             "df_fc_emb": _lin_init(k[6], (NB_DF // 2) * ch, c.emb_dim),
             "emb_in": _lin_init(k[7], (NB_ERB // 4) * ch + c.emb_dim, c.emb_dim),
         },
-        # dict keyed by group index (the weight store flattens dicts)
-        "gru": {str(i): _gru_init(kk, c.emb_dim // g, c.emb_dim // g)
-                for i, kk in enumerate(jax.random.split(k[8], g))},
         "erb_dec": {
             "emb_out": _lin_init(k[9], c.emb_dim, (NB_ERB // 4) * ch),
             "convt2": _conv_init(k[10], ch, ch),        # up x2 in freq
@@ -218,6 +252,39 @@ def _grouped_gru(groups: Dict, x):
     return hs.reshape(t, d)
 
 
+def _grouped_lin(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """``[T, D] -> [T, O]`` via per-group projections (upstream
+    ``GroupedLinearEinsum``: einsum btgi,gih->btgh then flatten)."""
+    g, din_g, dout_g = p["weight"].shape
+    t = x.shape[0]
+    xg = x.reshape(t, g, din_g)
+    return jnp.einsum("tgi,gih->tgh", xg, p["weight"]).reshape(t, g * dout_g)
+
+
+def _squeezed_gru(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    """DFN3's SqueezedGRU_S: grouped linear -> full-width GRU -> grouped
+    linear (ReLU activations after each projection, per upstream
+    ``SqueezedGRU_S(linear_act_layer=nn.ReLU)``)."""
+    h = jax.nn.relu(_grouped_lin(p["lin_in"], x))
+    units = p["gru"]["recurrent"].shape[0]
+
+    def step(carry, xt):
+        nxt = _gru_step(p["gru"], carry, xt)
+        return nxt, nxt
+
+    _, hs = jax.lax.scan(step, jnp.zeros((units,)), h)
+    return jax.nn.relu(_grouped_lin(p["lin_out"], hs))
+
+
+def _sequence_model(params: Dict, emb: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch on the param tree: the tree layout IS the topology
+    (keeps ``enhance_mono``'s (params, x) signature jittable without a
+    config argument)."""
+    if "gru_squeezed" in params:
+        return _squeezed_gru(params["gru_squeezed"], emb)
+    return _grouped_gru(params["gru"], emb)
+
+
 def _shift_stack(x: jnp.ndarray, order: int) -> jnp.ndarray:
     """``[T, F] -> [T, F, order]`` of (current, t-1, ..., t-order+1)
     frames with ZERO history before t=0 (no wrap-around)."""
@@ -277,8 +344,8 @@ def enhance_mono_full(params: Dict, x: jnp.ndarray, post_filter: bool = False):
     emb = jnp.tanh(_lin(enc["emb_in"], jnp.concatenate(
         [e3.reshape(n_frames, -1), cemb], axis=-1)))                 # [T,emb]
 
-    # ---- grouped GRU sequence model ----
-    hs = _grouped_gru(params["gru"], emb)                            # [T,emb]
+    # ---- sequence model (grouped GRU for DFN2, squeezed GRU for DFN3) ----
+    hs = _sequence_model(params, emb)                                # [T,emb]
 
     # ---- ERB gain decoder with pathway skips ----
     dec = params["erb_dec"]
@@ -347,6 +414,22 @@ def enhance(params: Dict, x_cn: jnp.ndarray, cfg: DFNConfig = DFNConfig(),
 # upstream checkpoint mapping
 # ---------------------------------------------------------------------------
 
+def _torch_gru_kernel(v):
+    """torch GRU ``weight_ih/hh_l0`` is ``[3h, d]`` with gate order
+    (r, z, n); our ``_gru_step`` splits (z, r, n) — transpose AND swap
+    the first two gate blocks (a plain transpose silently swaps
+    reset/update gates on converted checkpoints)."""
+    w = np.asarray(v).T
+    h = w.shape[1] // 3
+    return np.concatenate([w[:, h:2 * h], w[:, :h], w[:, 2 * h:]], axis=1)
+
+
+def _torch_gru_bias(v):
+    b = np.asarray(v)
+    h = b.shape[0] // 3
+    return np.concatenate([b[h:2 * h], b[:h], b[2 * h:]])
+
+
 # torch checkpoint key -> '/'-joined path in this param tree (kernels
 # transposed by convert_state_dict's shape logic).  Upstream names per
 # DeepFilterNet2's deepfilternet2.py module attributes.
@@ -375,9 +458,9 @@ DF_NAME_MAP = {
     "erb_dec.convt1.conv.bias": "erb_dec/convt1/bias",
     "erb_dec.conv_out.conv.weight": "erb_dec/conv_out/kernel",
     "erb_dec.conv_out.conv.bias": "erb_dec/conv_out/bias",
-    "df_dec.df_gru.weight_ih_l0": "df_dec/gru/kernel",
-    "df_dec.df_gru.weight_hh_l0": "df_dec/gru/recurrent",
-    "df_dec.df_gru.bias_ih_l0": "df_dec/gru/bias",
+    "df_dec.df_gru.weight_ih_l0": ("df_dec/gru/kernel", _torch_gru_kernel),
+    "df_dec.df_gru.weight_hh_l0": ("df_dec/gru/recurrent", _torch_gru_kernel),
+    "df_dec.df_gru.bias_ih_l0": ("df_dec/gru/bias", _torch_gru_bias),
     "df_dec.df_out.weight": "df_dec/out/kernel",
     "df_dec.df_out.bias": "df_dec/out/bias",
 }
@@ -387,7 +470,26 @@ def grouped_gru_name_map(groups: int):
     """Per-group GRU entries: ``emb_gru.gru_{i}.*`` -> ``gru/{i}/*``."""
     m = {}
     for i in range(groups):
-        m[f"emb_gru.gru_{i}.weight_ih_l0"] = f"gru/{i}/kernel"
-        m[f"emb_gru.gru_{i}.weight_hh_l0"] = f"gru/{i}/recurrent"
-        m[f"emb_gru.gru_{i}.bias_ih_l0"] = f"gru/{i}/bias"
+        m[f"emb_gru.gru_{i}.weight_ih_l0"] = (f"gru/{i}/kernel",
+                                              _torch_gru_kernel)
+        m[f"emb_gru.gru_{i}.weight_hh_l0"] = (f"gru/{i}/recurrent",
+                                              _torch_gru_kernel)
+        m[f"emb_gru.gru_{i}.bias_ih_l0"] = (f"gru/{i}/bias", _torch_gru_bias)
+    return m
+
+
+def dfn3_name_map():
+    """DFN3 squeezed-GRU entries (upstream ``SqueezedGRU_S``:
+    ``emb_gru.linear_in/gru/linear_out``; grouped linear weights are
+    ``[G, in/G, out/G]`` and load unchanged).  Conv/decoder keys reuse
+    ``DF_NAME_MAP`` — the DFN3 encoder/decoder keeps the DFN2 conv
+    topology (upstream deepfilternet3.py)."""
+    m = dict(DF_NAME_MAP)
+    m["emb_gru.linear_in.weight"] = "gru_squeezed/lin_in/weight"
+    m["emb_gru.gru.weight_ih_l0"] = ("gru_squeezed/gru/kernel",
+                                     _torch_gru_kernel)
+    m["emb_gru.gru.weight_hh_l0"] = ("gru_squeezed/gru/recurrent",
+                                     _torch_gru_kernel)
+    m["emb_gru.gru.bias_ih_l0"] = ("gru_squeezed/gru/bias", _torch_gru_bias)
+    m["emb_gru.linear_out.weight"] = "gru_squeezed/lin_out/weight"
     return m

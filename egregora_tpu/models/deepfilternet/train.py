@@ -52,9 +52,10 @@ def loss_fn(params: Dict, noisy: jnp.ndarray, clean: jnp.ndarray) -> jnp.ndarray
 
 
 def train_device(steps: int = 1500, batch: int = 4, frames: int = 50,
-                 lr: float = 1e-3, seed: int = 0, log_every: int = 100) -> Dict:
+                 lr: float = 1e-3, seed: int = 0, log_every: int = 100,
+                 cfg: DFNConfig = DFNConfig()) -> Dict:
     """Distill on the default backend (TPU) with on-device data synth."""
-    params = init_params(seed)
+    params = init_params(seed, cfg)
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adam(optax.cosine_decay_schedule(lr, steps, 0.05)))
     opt = tx.init(params)
@@ -96,12 +97,18 @@ def train(steps: int = 1500, batch: int = 4, frames: int = 50, lr: float = 1e-3,
     return params
 
 
-def pretrained_path() -> Path:
-    return Path(__file__).resolve().parent / "pretrained.npz"
+def pretrained_path(variant: str = "DeepFilterNet2") -> Path:
+    name = ("pretrained.npz" if str(variant) == "DeepFilterNet2"
+            else "pretrained_dfn3.npz")
+    return Path(__file__).resolve().parent / name
 
 
-def load_pretrained() -> Dict | None:
-    p = pretrained_path()
+def load_pretrained(variant: str = "DeepFilterNet2") -> Dict | None:
+    """Per-VARIANT shipped weights: DFN2 and DFN3 are topologically
+    different models here (grouped vs squeezed GRU), each with its own
+    distilled weight set — like the reference's ``init_df(model_name)``
+    dispatch (extras :509-517)."""
+    p = pretrained_path(variant)
     if not p.exists():
         return None
     from ...utils.weights import load_params
@@ -112,7 +119,9 @@ if __name__ == "__main__":
     import argparse
     import jax as _jax
 
-    ap = argparse.ArgumentParser(description="Distill DFN2 shipped weights")
+    ap = argparse.ArgumentParser(description="Distill DFN shipped weights")
+    ap.add_argument("--variant", default="DeepFilterNet2",
+                    choices=["DeepFilterNet2", "DeepFilterNet3"])
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--cpu", action="store_true")
@@ -120,7 +129,8 @@ if __name__ == "__main__":
     if a.cpu:
         _jax.config.update("jax_platforms", "cpu")
     print("devices:", _jax.devices(), flush=True)
-    params = train_device(steps=a.steps, batch=a.batch)
+    cfg = DFNConfig.for_variant(a.variant)
+    params = train_device(steps=a.steps, batch=a.batch, cfg=cfg)
     from ...utils.weights import save_params
-    save_params(params, pretrained_path())
-    print(f"saved {pretrained_path()}")
+    save_params(params, pretrained_path(a.variant))
+    print(f"saved {pretrained_path(a.variant)}")

@@ -29,6 +29,27 @@ def _coerce_bct(x) -> Tuple[np.ndarray, int, dict]:
     return buf.samples, buf.sample_rate, dict(buf.meta)
 
 
+def _batch_shape(folded_channels: int, meta: dict) -> Tuple[int, int]:
+    """``(B, C)`` for a folded ``[B*C, T]`` array.
+
+    The channel fold is correct for per-channel engines, but CROSS-channel
+    ops (downmix, WPE's mic array) must not mix distinct batch items —
+    the reference iterates batch items (extras :289-328, :400-440)."""
+    b = int(meta.get("batch", 1) or 1)
+    if b > 1 and folded_channels % b == 0:
+        return b, folded_channels // b
+    return 1, folded_channels
+
+
+def _downmix_mono(x_bct: jnp.ndarray, meta: dict) -> jnp.ndarray:
+    """Per-ITEM mono downmix of a folded ``[B*C, T]`` array -> ``[B, T]``
+    (plain ``mean(axis=0)`` would average across batch items)."""
+    b, c = _batch_shape(x_bct.shape[0], meta)
+    if b == 1:
+        return jnp.mean(x_bct, axis=0, keepdims=True)
+    return jnp.mean(x_bct.reshape(b, c, -1), axis=1)
+
+
 # ----------------------------
 # RNNoise Denoise (reference :90-362)
 # ----------------------------
@@ -68,6 +89,9 @@ class Egregora_RNNoise_Denoise:
             cls._PARAMS = load_pretrained()
             if cls._PARAMS is None:
                 from ..models.rnnoise.model import init_params
+                print("[egregora] WARNING: no shipped RNNoise weights "
+                      "found — serving RANDOM-INIT denoiser params; "
+                      "output will not be denoised", flush=True)
                 cls._PARAMS = init_params(0)
         return cls._PARAMS
 
@@ -80,7 +104,7 @@ class Egregora_RNNoise_Denoise:
         cn, sr, meta = _coerce_bct(audio)
         x48 = resample(cn, sr, 48000) if sr != 48000 else cn
         if stereo_mode == "downmix_mono":
-            x48 = jnp.mean(x48, axis=0, keepdims=True)
+            x48 = _downmix_mono(x48, meta)
 
         t = x48.shape[1]
         pad = (-t) % FRAME
@@ -153,9 +177,17 @@ class Egregora_WPE_Dereverb:
 
         cn, sr, meta = _coerce_bct(audio)
         try:
-            z = wpe_dereverb(cn, taps=int(taps), delay=int(delay),
-                             iterations=int(iterations), n_fft=int(n_fft),
-                             hop=int(hop))
+            # WPE's multichannel model is a MIC ARRAY: each batch item is
+            # its own array of C mics (the reference iterates items,
+            # extras :400-440) — running B*C folded channels as one array
+            # would cross-predict between unrelated batch items
+            b, c = _batch_shape(cn.shape[0], meta)
+            items = cn.reshape(b, c, -1)
+            z = jnp.concatenate(
+                [wpe_dereverb(items[i], taps=int(taps), delay=int(delay),
+                              iterations=int(iterations), n_fft=int(n_fft),
+                              hop=int(hop))
+                 for i in range(b)], axis=0)
         except Exception as e:  # graceful passthrough, reference :429-435
             print(f"Warning: WPE processing failed: {e}")
             z = cn
@@ -203,10 +235,13 @@ class Egregora_DeepFilterNet_Denoise:
     def _params(cls, model_name: str):
         if model_name not in cls._PARAMS:
             from ..models.deepfilternet.train import load_pretrained
-            params = load_pretrained()
+            params = load_pretrained(model_name)
             if params is None:
                 from ..models.deepfilternet.model import DFNConfig, init_params
-                params = init_params(0, DFNConfig(variant=model_name))
+                print(f"[egregora] WARNING: no shipped DeepFilterNet "
+                      f"weights for {model_name!r} — serving RANDOM-INIT "
+                      f"params; output will not be denoised", flush=True)
+                params = init_params(0, DFNConfig.for_variant(model_name))
             cls._PARAMS[model_name] = params
         return cls._PARAMS[model_name]
 
@@ -220,11 +255,11 @@ class Egregora_DeepFilterNet_Denoise:
 
         cn, sr, meta = _coerce_bct(audio)
         if stereo_mode == "downmix_mono":
-            cn = jnp.mean(cn, axis=0, keepdims=True)
+            cn = _downmix_mono(cn, meta)
         x48 = resample(cn, sr, 48000) if sr != 48000 else cn
 
         params = self._params(str(dfn_model))
-        wet48 = enhance(params, x48, DFNConfig(variant=str(dfn_model)),
+        wet48 = enhance(params, x48, DFNConfig.for_variant(str(dfn_model)),
                         post_filter=bool(use_postfilter))
 
         wet = resample(wet48, 48000, sr) if sr != 48000 else wet48

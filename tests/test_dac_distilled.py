@@ -45,7 +45,7 @@ def test_build_dac_uses_shipped_weights(tmp_path, monkeypatch):
     dacm._CACHE.clear()
     model, params, sr = dacm.build_dac("44khz")
     assert sr == 44100
-    assert model.cfg == distilled_config()
+    assert model.cfg == load_pretrained("44khz")[0]  # shipped geometry
     wav = _held_out()   # 3-clip set: single-clip SNR varies +-3 dB
     snr = roundtrip_snr_db(model, params, wav)
     assert snr > 2.0

@@ -197,3 +197,96 @@ def test_align_node_fixed_method_deeper_null():
                                  fractional=False)
     assert abs(d_ref - 99.0) < 0.5   # reference bias
     assert abs(d_fix - 100.0) < 0.5  # corrected
+
+
+# ---------------- B>1 cross-channel semantics (VERDICT r2 #4) ----------------
+
+def _batch2_audio(sr=48000, secs=0.2, ch=2, seed=0):
+    """A true [B=2, C, T] AUDIO dict of two DISTINCT stereo items."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(sr * secs)) / sr
+    item0 = np.stack([0.3 * np.sin(2 * np.pi * 440 * t),
+                      0.3 * np.sin(2 * np.pi * 660 * t)])[:ch]
+    item1 = (0.1 * rng.standard_normal((ch, t.size))).astype(np.float32)
+    wf = np.stack([item0, item1]).astype(np.float32)       # [2, C, T]
+    return {"waveform": wf, "sample_rate": sr}, wf
+
+
+def _item_audio(wf, i, sr=48000):
+    return comfy_audio(sr, wf[i])
+
+
+def test_rnnoise_downmix_batch_matches_per_item():
+    """downmix_mono with B=2 must average each item's OWN channels —
+    not across batch items (the reference iterates items,
+    extras :289-328)."""
+    node = egregora_tpu.NODE_CLASS_MAPPINGS["Egregora_RNNoise_Denoise"]()
+    batch, wf = _batch2_audio()
+    kw = dict(stereo_mode="downmix_mono", strength=0.5, adaptive_mode="off")
+    (out,) = node.execute(batch, **kw)
+    got = np.asarray(out["waveform"])
+    assert got.shape[0] == 2 and got.shape[1] == 1      # [B, 1, T]
+    for i in range(2):
+        (ref,) = node.execute(_item_audio(wf, i), **kw)
+        np.testing.assert_allclose(got[i], ref["samples"], atol=1e-4,
+                                   err_msg=f"item {i}")
+
+
+def test_dfn_downmix_batch_matches_per_item():
+    node = egregora_tpu.NODE_CLASS_MAPPINGS["Egregora_DeepFilterNet_Denoise"]()
+    batch, wf = _batch2_audio()
+    kw = dict(stereo_mode="downmix_mono", adaptive_vad_source="rms")
+    (out,) = node.execute(batch, **kw)
+    got = np.asarray(out["waveform"])
+    assert got.shape[0] == 2 and got.shape[1] == 1
+    for i in range(2):
+        (ref,) = node.execute(_item_audio(wf, i), **kw)
+        np.testing.assert_allclose(got[i], ref["samples"], atol=1e-4,
+                                   err_msg=f"item {i}")
+
+
+def test_wpe_batch_matches_per_item():
+    """WPE's mic array is each item's C channels: B=2 through the node
+    must equal per-item WPE (not a fused 2C-channel array)."""
+    node = egregora_tpu.NODE_CLASS_MAPPINGS["Egregora_WPE_Dereverb"]()
+    batch, wf = _batch2_audio(secs=0.3)
+    kw = dict(taps=4, delay=2, iterations=1, n_fft=512, hop=128)
+    (out,) = node.execute(batch, **kw)
+    got = np.asarray(out["waveform"])
+    assert got.shape == wf.shape
+    for i in range(2):
+        (ref,) = node.execute(_item_audio(wf, i), **kw)
+        np.testing.assert_allclose(got[i], ref["samples"], atol=1e-4,
+                                   err_msg=f"item {i}")
+
+
+# ---------------- fail-loud random-init serve paths (VERDICT r2 #10) --------
+
+def test_dfn3_variant_warns_without_weights(capsys):
+    """DeepFilterNet3 without shipped weights must (a) warn loudly and
+    (b) build the genuinely different squeezed-GRU topology."""
+    cls = egregora_tpu.NODE_CLASS_MAPPINGS["Egregora_DeepFilterNet_Denoise"]
+    from egregora_tpu.models.deepfilternet.train import load_pretrained
+    if load_pretrained("DeepFilterNet3") is not None:
+        pytest.skip("DFN3 weights are shipped — warning path not reachable")
+    cls._PARAMS.pop("DeepFilterNet3", None)
+    params = cls._params("DeepFilterNet3")
+    assert "WARNING" in capsys.readouterr().out
+    assert "gru_squeezed" in params
+    cls._PARAMS.pop("DeepFilterNet3", None)
+
+
+def test_dac_warns_on_random_init(tmp_path, monkeypatch, capsys):
+    """build_dac for a model_type with neither converted checkpoint nor
+    shipped weights prints a loud warning (ADVICE r2)."""
+    from egregora_tpu.models.dac import model as dacm
+    from egregora_tpu.models.dac import train as dact
+    monkeypatch.setenv("EGREGORA_TPU_WEIGHTS", str(tmp_path))
+    missing = [t for t in ("24khz", "16khz", "44khz")
+               if not dact.PRETRAINED[t].exists()]
+    if not missing:
+        pytest.skip("all DAC model types ship weights — fallback unreachable")
+    dacm._CACHE.clear()
+    dacm.build_dac(missing[0])
+    assert "WARNING" in capsys.readouterr().out
+    dacm._CACHE.clear()

@@ -98,7 +98,19 @@ def _synthetic_torch_sd(name_map_dict, flat_target, rng, weight_norm=False):
             fk, perm = fk
         shape = tuple(flat_target[fk].shape)
         w = rng.standard_normal(shape).astype(np.float32)
-        if perm is not None:                      # flax -> torch inverse perm
+        if callable(perm):
+            # inverse of the torch-GRU gate-order transforms: our (z,r,n)
+            # blocks -> torch (r,z,n), then the torch [3h, d] orientation
+            if tk.endswith(("weight_ih_l0", "weight_hh_l0")):
+                h = w.shape[1] // 3
+                t = np.concatenate([w[:, h:2 * h], w[:, :h], w[:, 2 * h:]],
+                                   axis=1).T
+            elif tk.endswith("bias_ih_l0"):
+                h = w.shape[0] // 3
+                t = np.concatenate([w[h:2 * h], w[:h], w[2 * h:]])
+            else:
+                raise NotImplementedError(f"no inverse for transform on {tk}")
+        elif perm is not None:                    # flax -> torch inverse perm
             inv = np.argsort(perm)
             t = np.transpose(w, inv)
         elif len(shape) == 2 and tk.endswith("weight"):
@@ -259,9 +271,9 @@ def test_dfn2_checkpoint_layout_loads():
     flat = _flatten(target)
     raw = dict(DF_NAME_MAP)
     raw.update(grouped_gru_name_map(cfg.gru_groups))
-    assert set(raw.values()) == set(flat), (
-        sorted(set(flat) - set(raw.values()))[:5],
-        sorted(set(raw.values()) - set(flat))[:5])
+    paths = set(p[0] if isinstance(p, tuple) else p for p in raw.values())
+    assert paths == set(flat), (sorted(set(flat) - paths)[:5],
+                                sorted(paths - set(flat))[:5])
     rng = np.random.default_rng(9)
     sd = _synthetic_torch_sd(raw, flat, rng)
     out = convert_state_dict(sd, target, name_map=raw.get)
@@ -373,3 +385,79 @@ def test_ldm_attention_legacy_qkv_order():
     y = np.asarray(blk.apply(params, x_nhwc))
     y_bcn = y.transpose(0, 3, 1, 2).reshape(B, C, N)
     np.testing.assert_allclose(y_bcn, ref, atol=2e-4)
+
+
+def test_torch_gru_gate_order_parity():
+    """Converted GRU weights reproduce the UPSTREAM torch GRU step —
+    torch lays gates out (r, z, n); ours is (z, r, n).  Independent
+    numpy implementation of torch's GRUCell (bias_hh = 0, which the
+    name maps drop)."""
+    from egregora_tpu.models.deepfilternet.model import (_gru_step,
+                                                         _torch_gru_bias,
+                                                         _torch_gru_kernel)
+
+    d, hdim = 6, 4
+    rng = np.random.default_rng(5)
+    w_ih = rng.standard_normal((3 * hdim, d)).astype(np.float32)   # [r|z|n]
+    w_hh = rng.standard_normal((3 * hdim, hdim)).astype(np.float32)
+    b_ih = rng.standard_normal(3 * hdim).astype(np.float32)
+    x = rng.standard_normal(d).astype(np.float32)
+    h = rng.standard_normal(hdim).astype(np.float32)
+
+    def sig(v):
+        return 1.0 / (1.0 + np.exp(-v))
+
+    gi = w_ih @ x + b_ih
+    gh = w_hh @ h
+    r = sig(gi[:hdim] + gh[:hdim])
+    z = sig(gi[hdim:2 * hdim] + gh[hdim:2 * hdim])
+    n = np.tanh(gi[2 * hdim:] + r * gh[2 * hdim:])
+    ref = (1 - z) * n + z * h
+
+    p = {"kernel": jnp.asarray(_torch_gru_kernel(w_ih)),
+         "recurrent": jnp.asarray(_torch_gru_kernel(w_hh)),
+         "bias": jnp.asarray(_torch_gru_bias(b_ih))}
+    ours = np.asarray(_gru_step(p, jnp.asarray(h), jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_dfn3_checkpoint_layout_loads():
+    """DFN3 squeezed-GRU naming (emb_gru.linear_in/gru/linear_out) loads
+    into the DFN3 param tree through dfn3_name_map; the converted params
+    run and the variant is topologically distinct from DFN2."""
+    from egregora_tpu.models.deepfilternet.model import (DFNConfig,
+                                                         dfn3_name_map,
+                                                         enhance_mono,
+                                                         init_params)
+    from egregora_tpu.utils.weights import _flatten
+
+    cfg3 = DFNConfig.for_variant("DeepFilterNet3")
+    assert cfg3.squeezed and cfg3.variant == "DeepFilterNet3"
+    target = init_params(0, cfg3)
+    flat = _flatten(target)
+    assert any(k.startswith("gru_squeezed/") for k in flat)
+    cfg2 = DFNConfig.for_variant("DeepFilterNet2")
+    flat2 = _flatten(init_params(0, cfg2))
+    assert set(flat) != set(flat2)   # genuinely different models
+
+    raw = dfn3_name_map()
+    paths = set(p[0] if isinstance(p, tuple) else p for p in raw.values())
+    assert paths == set(flat), (sorted(set(flat) - paths)[:5],
+                                sorted(paths - set(flat))[:5])
+    rng = np.random.default_rng(13)
+    sd = _synthetic_torch_sd(raw, flat, rng)
+    # grouped-linear weights are [G, in/G, out/G] on BOTH sides (no
+    # transpose) — override the helper's generic ndim>=3 conv inversion
+    for tk in ("emb_gru.linear_in.weight", "emb_gru.linear_out.weight"):
+        fk = raw[tk] if not isinstance(raw[tk], tuple) else raw[tk][0]
+        sd[tk] = rng.standard_normal(flat[fk].shape).astype(np.float32)
+    out = convert_state_dict(sd, target, name_map=raw.get)
+    got = {k: np.asarray(v) for k, v in _flatten(out).items()}
+    assert set(got) == set(flat)
+    # grouped linear weights load unchanged
+    np.testing.assert_array_equal(got["gru_squeezed/lin_in/weight"],
+                                  sd["emb_gru.linear_in.weight"])
+    y = enhance_mono(out, jnp.asarray(
+        rng.standard_normal(4800).astype(np.float32) * 0.1))
+    assert y.shape == (4800,)
+    assert np.isfinite(np.asarray(y)).all()
