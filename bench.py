@@ -15,11 +15,15 @@ host<->host edges:
   fatllama_ist_iters_s     config #1: IST iterations/s, 30 s 16 kHz mono
   evalpack_pairs_s         config #2: SI-SDR+LSD+LUFS on paired 48 kHz clips
   nullsuite_pairs_s        config #3: GCC-PHAT align + gain match + subtract
+  rnnoise_rtf_48k          RNNoise engine on the accelerator, one program
+  fullchain_rtf_96k        config #5: denoise->FlashSR->FatLlama->96 kHz
+                           + eval, ONE fused device program
   relay_d2h_MBps           measured tunnel bandwidth at bench time
   flashsr_node_rtf_48k     full node path incl. host edges THROUGH THE
                            RELAY TUNNEL (diagnostic: the tunnel moves
                            1-70 MB/s hour to hour; on a real TPU host
                            the same edges are GB/s PCIe)
+  flashsr_pipeline_mfu_pct XLA cost-analysis FLOPs / wall / v5e bf16 peak
   flashsr_pipeline_rtf_48k FLAGSHIP: fused device-resident pipeline
 
 vs_baseline for RTF metrics is against the 100x-per-chip north star;
@@ -214,13 +218,102 @@ def bench_node_path(pipe, jnp) -> None:
     _emit("flashsr_node_rtf_48k", rtf, "x_realtime_per_chip", rtf / 100.0)
 
 
+def bench_rnnoise(jnp, secs: int = 60) -> None:
+    """RNNoise engine RTF on the accelerator: stereo 60 s @48 kHz
+    through ONE jitted program (channels vmapped through a single
+    lax.scan — not per-channel dispatches).  The reference runs xiph C
+    on one CPU core; this line records what the TPU path actually does
+    (VERDICT r2 weak #8: previously a CPU anecdote)."""
+    import jax
+
+    from egregora_tpu.models.rnnoise.model import FRAME, denoise
+    from egregora_tpu.nodes.enhance_extras import Egregora_RNNoise_Denoise
+
+    params = Egregora_RNNoise_Denoise._params()
+    sr, ch = 48000, 2
+    rng = np.random.default_rng(5)
+    t = sr * secs
+    x = jnp.asarray((rng.standard_normal((ch, (t // FRAME) * FRAME)) * 0.1)
+                    .astype(np.float32))
+
+    run = jax.jit(lambda p, x: denoise(p, x)[0])
+    _sync(run(params, x))                   # compile
+    best = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        _sync(run(params, x))
+        dt = time.time() - t0
+        best = max(best, secs / dt)
+    _emit("rnnoise_rtf_48k", best, "x_realtime_per_chip", 0.0)
+
+
+def bench_fullchain(pipe, jnp, secs: int = 30) -> None:
+    """Config #5 (the last BASELINE config without a machine-readable
+    number): denoise -> FlashSR -> Fat Llama light pass -> 96 kHz
+    delivery + eval metrics, fused into ONE device program (audio never
+    leaves HBM between stages; the reference crosses process<->
+    filesystem twice per Fat Llama call alone)."""
+    import jax
+
+    from egregora_tpu.eval.loudness import loudness_report
+    from egregora_tpu.eval.metrics import lsd_sisdr_report
+    from egregora_tpu.models.rnnoise.model import FRAME, denoise
+    from egregora_tpu.nodes.enhance_extras import Egregora_RNNoise_Denoise
+    from egregora_tpu.ops.mix import adaptive_mix
+    from egregora_tpu.ops.resample import resample
+    from egregora_tpu.ops.spectral import spectral_enhance
+
+    rn_params = Egregora_RNNoise_Denoise._params()
+    in_sr = 16000
+    rng = np.random.default_rng(6)
+    x16 = jnp.asarray((rng.standard_normal((1, in_sr * secs)) * 0.1)
+                      .astype(np.float32))
+    sr_fn = pipe._fused_process(None, False, 48000, 48000, 1)
+
+    @jax.jit
+    def chain(params, x):
+        x48 = resample(x, in_sr, 48000)
+        pad = (-x48.shape[1]) % FRAME
+        wet, vads = denoise(rn_params, jnp.pad(x48, ((0, 0), (0, pad))))
+        wet = wet[:, : x48.shape[1]]
+        den = adaptive_mix(x48[0], wet[0], vads[0], strength=0.8,
+                           mix_curve="equal_power",
+                           adaptive_mode="more_on_noise", adaptive_amount=0.5,
+                           vad_threshold=0.9, vad_smooth_ms=50,
+                           frame_hop=FRAME)[None]
+        y48 = sr_fn(params, den)
+        out96 = spectral_enhance(y48, 2, 50, 0.6)     # IST pass -> 96 kHz
+        loud = loudness_report(out96, 96000)
+        ref96 = resample(x, in_sr, 96000)
+        n = min(ref96.shape[1], out96.shape[1])
+        m = lsd_sisdr_report(ref96[0, :n], out96[0, :n])
+        return out96.sum() + loud["lufs_integrated"] + m["lsd_mean_db"]
+
+    _sync(chain(pipe.params, x16))          # compile + settle
+    best = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        _sync(chain(pipe.params, x16))
+        dt = time.time() - t0
+        best = max(best, secs / dt)
+    _emit("fullchain_rtf_96k", best, "x_realtime_per_chip", 0.0)
+
+
+# TPU v5e (v5 lite) peak dense bf16 throughput per chip.
+_V5E_PEAK_FLOPS = 197e12
+
+
 def bench_device_pipeline(pipe, jnp) -> None:
     """FLAGSHIP: the fused full pipeline (resample 16k->48k -> chunk ->
     batched forward -> WOLA stitch) as one device-resident program — the
     north-star metric (BASELINE.json: everything in HBM, host edges
     shrunk to decode/weights).  Each round is fully synced via a 4-byte
     reduction transfer; best of 3 rounds reported (the relay adds
-    variable per-dispatch latency that is not device work)."""
+    variable per-dispatch latency that is not device work).
+
+    Also emits the pipeline's MFU (VERDICT r2 #5): compiled-program
+    FLOPs from XLA cost analysis / wall time / v5e peak — the honest
+    utilization number behind the RTF."""
     import jax
 
     in_sr = 16000
@@ -233,13 +326,26 @@ def bench_device_pipeline(pipe, jnp) -> None:
     red = jax.jit(lambda p, x: fn(p, x).sum())
     _sync(red(pipe.params, x_dev))          # compile + settle
 
-    best = 0.0
+    best_dt = float("inf")
     for _ in range(3):
         t0 = time.time()
         _sync(red(pipe.params, x_dev))
-        dt = time.time() - t0
-        best = max(best, secs / dt)
-    _emit("flashsr_pipeline_rtf_48k", best, "x_realtime_per_chip", best / 100.0)
+        best_dt = min(best_dt, time.time() - t0)
+    rtf = secs / best_dt
+
+    try:
+        ca = red.lower(pipe.params, x_dev).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            mfu = 100.0 * flops / best_dt / _V5E_PEAK_FLOPS
+            _emit("flashsr_pipeline_mfu_pct", mfu, "pct_of_v5e_bf16_peak", 0.0)
+    except Exception as e:
+        _emit("flashsr_pipeline_mfu_pct_failed", 0.0,
+              f"error:{type(e).__name__}", 0.0)
+
+    _emit("flashsr_pipeline_rtf_48k", rtf, "x_realtime_per_chip", rtf / 100.0)
 
 
 def main() -> None:
@@ -254,6 +360,8 @@ def main() -> None:
                      (bench_fatllama, (jnp,)),
                      (bench_evalpack, (jnp,)),
                      (bench_nullsuite, (jnp,)),
+                     (bench_rnnoise, (jnp,)),
+                     (bench_fullchain, (pipe, jnp)),
                      (bench_link, (jnp,)),
                      (bench_node_path, (pipe, jnp))):
         try:

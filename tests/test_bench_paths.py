@@ -1,0 +1,42 @@
+"""Smoke the bench programs' device code paths on CPU (tiny pipe, short
+clips) so bench.py can't rot between TPU runs: the fullchain fused
+program (BASELINE config #5) must trace/compile/produce finite output,
+and the RNNoise engine bench path must run as one jitted program."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    from egregora_tpu.models.flashsr.pipeline import FlashSRConfig, FlashSRPipeline
+    from egregora_tpu.models.flashsr.unet import UNetConfig
+    from egregora_tpu.models.flashsr.vae import VAEConfig
+    from egregora_tpu.models.flashsr.vocoder import VocoderConfig
+
+    cfg = FlashSRConfig(
+        vae=VAEConfig(base_channels=8, channel_mults=(1, 2, 2), latent_channels=4,
+                      num_res_blocks=1, groups=4, mid_attn=False,
+                      use_quant_conv=False),
+        unet=UNetConfig(in_channels=8, out_channels=4, base_channels=8,
+                        channel_mults=(1, 2), num_res_blocks=1, attn_levels=(),
+                        num_heads=2, time_dim=16, groups=4),
+        vocoder=VocoderConfig(upsample_initial=16, channel_floor=8),
+    )
+    return FlashSRPipeline(cfg, seed=0)
+
+
+def test_bench_fullchain_runs(tiny_pipe, capsys):
+    import bench
+    bench.bench_fullchain(tiny_pipe, jnp, secs=12)
+    out = capsys.readouterr().out
+    assert '"fullchain_rtf_96k"' in out, out
+
+
+def test_bench_rnnoise_runs(capsys):
+    import bench
+    bench.bench_rnnoise(jnp, secs=5)
+    out = capsys.readouterr().out
+    assert '"rnnoise_rtf_48k"' in out, out
