@@ -55,7 +55,9 @@ def test_shipped_weights_denoise():
                       for i in range(4)])
     after = np.mean([snr(clean[i][FRAME:-FRAME], out[i][2 * FRAME:])
                      for i in range(4)])
-    assert after > before + 1.0
+    # shipped weights measure +7.2 dB; gate at +5 dB so a silent quality
+    # regression fails loudly (VERDICT r2 #9 — "+1 dB" let anything pass)
+    assert after > before + 5.0, f"improvement {after - before:.2f} dB < 5 dB"
     # VAD must be informative, not saturated
     v = np.asarray(vad)
     assert 0.05 < v.mean() < 0.95
@@ -91,4 +93,5 @@ def test_dfn_shipped_weights_denoise():
 
     before = np.mean([snr(clean[i], noisy[i]) for i in range(3)])
     after = np.mean([snr(clean[i], out[i]) for i in range(3)])
-    assert after > before + 1.0
+    # shipped weights measure +15.1 dB; gate at +10 dB (VERDICT r2 #9)
+    assert after > before + 10.0, f"improvement {after - before:.2f} dB < 10 dB"
