@@ -42,12 +42,14 @@ def distilled_config(model_type: str = "44khz") -> DACConfig:
     # for reconstruction quality, which is the right trade for an
     # in-repo functional stand-in.  Upstream conversion configs
     # (MODEL_TYPES) keep the real strides.
-    # 9 books / dim 8 under EMA codebook updates (round 2's
+    # 9 books / dim 16 under EMA codebook updates (round 2's
     # gradient-trained 9-book VQ diverged; EMA + continuous dead-code
-    # restarts is the standard stabilization and holds utilization high)
+    # restarts is the standard stabilization).  dim 16 matters: rank-8
+    # stages cap z_q at rank 72 against a 384-dim latent — a measured
+    # ~0 dB roundtrip ceiling in the round-3 first run
     return DACConfig(sample_rate=_RATES[model_type], encoder_dim=24,
                      strides=(2, 4, 4, 4), decoder_dim=384, n_codebooks=9,
-                     codebook_size=1024, codebook_dim=8, res_scale=0.5,
+                     codebook_size=1024, codebook_dim=16, res_scale=0.5,
                      output_tanh=False, alpha_floor=0.05)
 
 
@@ -87,7 +89,7 @@ def loss_fn(model: DACModel, params: dict, wav: jnp.ndarray) -> jnp.ndarray:
     # z's scale, decoupling the decoder from the encoder)
     denom_z = jax.lax.stop_gradient(jnp.mean(jnp.square(z))) + 1e-6
     latent_match = jnp.mean(jnp.square(z_q - jax.lax.stop_gradient(z))) / denom_z
-    return (20.0 * wave_l2 + _stft_l2(rec, wav) + 0.25 * commit + codebook
+    return (40.0 * wave_l2 + _stft_l2(rec, wav) + 0.25 * commit + codebook
             + latent_match + 0.5 * scale_reg)
 
 
@@ -106,7 +108,7 @@ def ema_loss_fn(model: DACModel, params: dict, wav: jnp.ndarray):
     scale_reg = jnp.square(rms - 1.0)
     denom_z = jax.lax.stop_gradient(jnp.mean(jnp.square(z))) + 1e-6
     latent_match = jnp.mean(jnp.square(z_q - jax.lax.stop_gradient(z))) / denom_z
-    loss = (20.0 * wave_l2 + _stft_l2(rec, wav) + 0.25 * commit
+    loss = (40.0 * wave_l2 + _stft_l2(rec, wav) + 0.25 * commit
             + latent_match + 0.5 * scale_reg)
     return loss, (codes, r_stack)
 
@@ -188,10 +190,12 @@ def make_ema_scan_step(model: DACModel, tx: optax.GradientTransformation,
 
 
 def make_eval_snr(model: DACModel, n: int = 4, length: int = None,
-                  seed: int = 555):
-    """One jitted program: held-out synth batch -> codec roundtrip SNR
-    (dB).  A single extra remote compile instead of the encode/decode
-    pair ``roundtrip_snr_db`` would trigger."""
+                  seed: int = 555, quantize: bool = True):
+    """One jitted program: held-out synth batch -> roundtrip SNR (dB).
+    ``quantize=False`` skips the RVQ — the plain-autoencoder ceiling,
+    the number that tells you whether the AE or the quantizer is the
+    binding constraint.  A single extra remote compile instead of the
+    encode/decode pair ``roundtrip_snr_db`` would trigger."""
     from ..flashsr.distill import synth_pair_batch
 
     cfg = model.cfg
@@ -204,8 +208,9 @@ def make_eval_snr(model: DACModel, n: int = 4, length: int = None,
                                  sr=cfg.sample_rate)
         x = jnp.pad(hr, ((0, 0), (0, pad)))
         z = model.encoder.apply(params["encoder"], x[..., None])
-        z_q, _ = model.rvq.apply(params["rvq"], z)
-        rec = model.decoder.apply(params["decoder"], z_q)[:, :length]
+        if quantize:
+            z, _ = model.rvq.apply(params["rvq"], z)
+        rec = model.decoder.apply(params["decoder"], z)[:, :length]
         err = jnp.mean(jnp.square(rec - hr))
         sig = jnp.mean(jnp.square(hr)) + 1e-12
         return 10.0 * jnp.log10(sig / (err + 1e-12))
@@ -222,7 +227,7 @@ def ae_loss_fn(model: DACModel, params: dict, wav: jnp.ndarray) -> jnp.ndarray:
     rec = model.decoder.apply(params["decoder"], z)[:, : wav.shape[-1]]
     wave_l2 = jnp.mean(jnp.square(rec - wav))
     rms = jnp.sqrt(jnp.mean(jnp.square(z)) + 1e-9)
-    return 20.0 * wave_l2 + _stft_l2(rec, wav) + 0.5 * jnp.square(rms - 1.0)
+    return 40.0 * wave_l2 + _stft_l2(rec, wav) + 0.5 * jnp.square(rms - 1.0)
 
 
 def init_codebooks_from_data(model: DACModel, params: dict,
@@ -330,10 +335,13 @@ def make_scan_step(model: DACModel, tx: optax.GradientTransformation,
 
 
 def _run_phase(model, params, tag, loss, steps, batch, length, lr, key,
-               scan_size, log_every, use_ema: bool = False, eval_fn=None):
+               scan_size, log_every, use_ema: bool = False, eval_fn=None,
+               ckpt_path=None, ckpt_every: int = 0):
     """One optimization phase.  ``use_ema=True`` runs the EMA-codebook
     step (``make_ema_scan_step``; ``loss`` ignored); ``eval_fn`` (from
-    ``make_eval_snr``) logs held-out roundtrip SNR alongside the loss."""
+    ``make_eval_snr``) logs held-out roundtrip SNR alongside the loss;
+    ``ckpt_path``/``ckpt_every`` save the weights mid-run so long TPU
+    runs survive interruption and are diagnosable post-hoc."""
     if steps <= 0:
         return params
 
@@ -351,6 +359,7 @@ def _run_phase(model, params, tag, loss, steps, batch, length, lr, key,
         step = make_scan_step(model, tx, batch, length, sr, sz, loss=loss)
         ema = None
     next_log = 0
+    since_ckpt = 0
     for i in range(0, steps, sz):
         key, k = jax.random.split(key)
         if use_ema:
@@ -364,6 +373,12 @@ def _run_phase(model, params, tag, loss, steps, batch, length, lr, key,
                 extra = f"  held-out SNR {float(eval_fn(params)):+.2f} dB"
             print(f"[dac-distill:{tag}] step {i}..{i + sz - 1} "
                   f"mean loss {float(lv):.4f}{extra}", flush=True)
+        since_ckpt += sz
+        if ckpt_path is not None and ckpt_every and since_ckpt >= ckpt_every:
+            since_ckpt = 0
+            save_pretrained(params, Path(ckpt_path), cfg=model.cfg)
+            print(f"[dac-distill:{tag}] ckpt @ step {i} -> {ckpt_path}",
+                  flush=True)
     return params
 
 
@@ -384,17 +399,26 @@ def train(cfg: DACConfig = None, steps: int = 2000, batch: int = 8,
     params = model.init_params(seed)
     key = jax.random.PRNGKey(seed + 1)
     ae_steps = int(round(steps * ae_frac))
-    ev = make_eval_snr(model, length=min(length, cfg.sample_rate)) \
+    ev_len = min(length, cfg.sample_rate)
+    ev = make_eval_snr(model, length=ev_len) if eval_every else None
+    ev_ae = make_eval_snr(model, length=ev_len, quantize=False) \
         if eval_every else None
+    # mid-run checkpoints go to a sibling .ckpt file — the real
+    # PRETRAINED path is only written by the caller on successful
+    # completion, so a killed run can't leave half-trained weights
+    # where the loaders (and quality gates) look
+    ckpt = PRETRAINED[model_type].with_suffix(".ckpt.npz") \
+        if model_type in PRETRAINED else None
 
     key, ka, kc, kb = jax.random.split(key, 4)
     params = _run_phase(model, params, "ae", ae_loss_fn, ae_steps, batch,
-                        length, lr, ka, scan_size, log_every)
+                        length, lr, ka, scan_size, log_every, eval_fn=ev_ae)
     _, warm = synth_pair_batch(kc, batch, length, sr=cfg.sample_rate)
     params = init_codebooks_from_data(model, params, warm, seed=seed)
     params = _run_phase(model, params, "vq", None, steps - ae_steps, batch,
                         length, lr * 0.5, kb, scan_size, log_every,
-                        use_ema=True, eval_fn=ev)
+                        use_ema=True, eval_fn=ev,
+                        ckpt_path=ckpt, ckpt_every=3000)
     return model, params
 
 

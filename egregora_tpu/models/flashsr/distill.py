@@ -44,9 +44,11 @@ def distilled_config() -> FlashSRConfig:
         vae=VAEConfig(base_channels=24, channel_mults=(1, 2, 4), latent_channels=16,
                       num_res_blocks=1, groups=8, mid_attn=False,
                       use_quant_conv=False),
-        unet=UNetConfig(in_channels=32, out_channels=16, base_channels=48,
-                        channel_mults=(1, 2), num_res_blocks=1, attn_levels=(),
-                        num_heads=4, time_dim=128, groups=8),
+        # round-3: wider/deeper student — the stage decomposition showed
+        # the latent prediction (not VAE/vocoder) dominating pipeline LSD
+        unet=UNetConfig(in_channels=32, out_channels=16, base_channels=64,
+                        channel_mults=(1, 2, 2), num_res_blocks=2,
+                        attn_levels=(), num_heads=4, time_dim=128, groups=8),
         vocoder=VocoderConfig(upsample_initial=128, channel_floor=16),
     )
 
@@ -186,23 +188,35 @@ def make_distill_scan(modules, tx, batch: int, length: int, scan_size: int,
 
 def distill(steps: int = 3000, batch: int = 8, frames: int = 128,
             lr: float = 2e-4, seed: int = 0, out_path: Path = PRETRAINED,
-            log_every: int = 100, scan_size: int = 1) -> dict:
+            log_every: int = 100, scan_size: int = 1,
+            cfg: FlashSRConfig = None, ckpt_every: int = 0) -> dict:
     """Run the distillation and write ``pretrained.npz`` (float16).
 
+    ``ckpt_every`` > 0 additionally saves the weights + held-out
+    LSD/SI-SDR every that many steps (long TPU runs survive
+    interruption; the trajectory is observable from the log).
     Returns the final metrics dict (also written next to the npz)."""
     from .pipeline import FlashSRModules
     from .train import make_optimizer
 
     length = 480 * frames
-    cfg = distilled_config()
+    cfg = cfg or distilled_config()
     modules = FlashSRModules(cfg)
     params = modules.init_params(seed)
     tx = make_optimizer(lr)
     opt_state = tx.init(params)
     base = jax.random.PRNGKey(seed + 1)
     loss0 = None
+
+    def checkpoint(i, params):
+        m = evaluate(params, cfg, seed=seed + 7, n=2)
+        save_pretrained(params, out_path, cfg=cfg)
+        print(f"[distill] ckpt @ step {i}: LSD {m['lsd_model']:.2f} dB, "
+              f"SI-SDR {m['sisdr_model']:.2f} dB -> {out_path}", flush=True)
+
     if scan_size > 1:
         scan_step = make_distill_scan(modules, tx, batch, length, scan_size)
+        since_ckpt = 0
         for i in range(0, steps, scan_size):
             params, opt_state, loss = scan_step(params, opt_state,
                                                 jax.random.fold_in(base, i))
@@ -211,6 +225,10 @@ def distill(steps: int = 3000, batch: int = 8, frames: int = 128,
                 loss0 = lv
             print(f"[distill] step {i:5d}..{i + scan_size - 1} "
                   f"mean loss {lv:.4f}", flush=True)
+            since_ckpt += scan_size
+            if ckpt_every and since_ckpt >= ckpt_every and i + scan_size < steps:
+                since_ckpt = 0
+                checkpoint(i, params)
     else:
         step = make_distill_step(modules, tx, batch, length)
         for i in range(steps):
@@ -221,29 +239,96 @@ def distill(steps: int = 3000, batch: int = 8, frames: int = 128,
                 if loss0 is None:
                     loss0 = lv
                 print(f"[distill] step {i:5d} loss {lv:.4f}", flush=True)
+            if ckpt_every and i and i % ckpt_every == 0:
+                checkpoint(i, params)
 
     metrics = evaluate(params, cfg, seed=seed + 7)
     metrics.update(steps=steps, batch=batch, frames=frames,
                    loss_first=loss0, loss_last=float(loss))
-    save_pretrained(params, out_path)
+    save_pretrained(params, out_path, cfg=cfg)
     out_path.with_suffix(".json").write_text(json.dumps(metrics, indent=1))
     print(f"[distill] saved {out_path} metrics={metrics}", flush=True)
     return metrics
 
 
-def save_pretrained(params, path: Path = PRETRAINED) -> None:
+def _deep_tuple(v):
+    return tuple(_deep_tuple(x) for x in v) if isinstance(v, list) else v
+
+
+def _cfg_to_json(cfg: FlashSRConfig) -> str:
+    """Serialize the compact trio geometry (dtype fields dropped; they
+    are code policy, not checkpoint state)."""
+    import dataclasses as dc
+
+    def enc(o):
+        d = dc.asdict(o)
+        d.pop("dtype", None)
+        return d
+
+    return json.dumps({"vae": enc(cfg.vae), "unet": enc(cfg.unet),
+                       "vocoder": enc(cfg.vocoder),
+                       "crossover_hz": cfg.crossover_hz,
+                       "noise_seed": cfg.noise_seed})
+
+
+def _cfg_from_json(s: str) -> FlashSRConfig:
+    d = json.loads(s)
+
+    def dec(cls, dd):
+        return cls(**{k: _deep_tuple(v) for k, v in dd.items()})
+
+    return FlashSRConfig(vae=dec(VAEConfig, d["vae"]),
+                         unet=dec(UNetConfig, d["unet"]),
+                         vocoder=dec(VocoderConfig, d["vocoder"]),
+                         crossover_hz=d["crossover_hz"],
+                         noise_seed=d["noise_seed"])
+
+
+def save_pretrained(params, path: Path = PRETRAINED,
+                    cfg: FlashSRConfig = None) -> None:
+    """Weights + the geometry that trained them (self-describing npz —
+    geometry changes to ``distilled_config`` can't misload older
+    shipped weight sets)."""
     from ...utils.weights import _flatten
     flat = {k: np.asarray(v, np.float16) for k, v in _flatten(params).items()}
+    if cfg is not None:
+        flat["__config__"] = np.frombuffer(_cfg_to_json(cfg).encode(),
+                                           dtype=np.uint8)
     np.savez_compressed(path, **flat)
+
+
+# round-2 shipped geometry (npz files predating the embedded config)
+_LEGACY_DISTILLED = FlashSRConfig(
+    vae=VAEConfig(base_channels=24, channel_mults=(1, 2, 4), latent_channels=16,
+                  num_res_blocks=1, groups=8, mid_attn=False,
+                  use_quant_conv=False),
+    unet=UNetConfig(in_channels=32, out_channels=16, base_channels=48,
+                    channel_mults=(1, 2), num_res_blocks=1, attn_levels=(),
+                    num_heads=4, time_dim=128, groups=8),
+    vocoder=VocoderConfig(upsample_initial=128, channel_floor=16),
+)
 
 
 def load_pretrained(path: Path = PRETRAINED):
     """Shipped distilled params (cast back to f32), or None if absent."""
+    out = load_pretrained_with_cfg(path)
+    return None if out is None else out[1]
+
+
+def load_pretrained_with_cfg(path: Path = PRETRAINED):
+    """(config, params) for the shipped compact trio, or None."""
     if not Path(path).exists():
         return None
     from ...utils.weights import _unflatten
     with np.load(path) as z:
-        return _unflatten({k: z[k].astype(np.float32) for k in z.files})
+        files = list(z.files)
+        if "__config__" in files:
+            cfg = _cfg_from_json(bytes(z["__config__"].tobytes()).decode())
+            files.remove("__config__")
+        else:
+            cfg = _LEGACY_DISTILLED
+        params = _unflatten({k: z[k].astype(np.float32) for k in files})
+    return cfg, params
 
 
 def resolve_flashsr(seed: int = 0):
@@ -260,9 +345,9 @@ def resolve_flashsr(seed: int = 0):
     if not missing_flashsr_files() or (flashsr_ckpt_dir() / "flashsr_params.npz").exists():
         cfg = FlashSRConfig()
         return cfg, ensure_flashsr_weights(FlashSRModules(cfg), seed), "converted"
-    params = load_pretrained()
-    if params is not None:
-        return distilled_config(), params, "distilled"
+    shipped = load_pretrained_with_cfg()
+    if shipped is not None:
+        return shipped[0], shipped[1], "distilled"
     cfg = FlashSRConfig()
     print("[egregora_tpu] FlashSR: no checkpoints and no shipped distilled "
           "weights — using seeded random init (output will not be enhanced)")
@@ -308,10 +393,12 @@ if __name__ == "__main__":
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--scan", type=int, default=1,
                     help="steps per dispatch (use ~20 on TPU)")
+    ap.add_argument("--ckpt-every", type=int, default=0,
+                    help="save + eval every N steps (long runs)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     a = ap.parse_args()
     if a.cpu:
         jax.config.update("jax_platforms", "cpu")
     print("devices:", jax.devices(), flush=True)
     distill(steps=a.steps, batch=a.batch, frames=a.frames, lr=a.lr, seed=a.seed,
-            scan_size=a.scan)
+            scan_size=a.scan, ckpt_every=a.ckpt_every)

@@ -69,7 +69,17 @@ def loss_fn(modules: FlashSRModules, params: dict, lr_wave: jnp.ndarray,
     use its own deterministic seed (pipeline ``noise_seed``).
 
     ``n_fft`` must match the inference front-end (mel.N_FFT=2048 at the
-    real hop of 480); 0 picks 4*hop, fine for tiny-config dryruns."""
+    real hop of 480); 0 picks 4*hop, fine for tiny-config dryruns.
+
+    Round-3 rework (VERDICT r2 #2), driven by a stage decomposition of
+    the round-2 weights (vocoder-only LSD 10.4, VAE+vocoder 10.6, full
+    pipeline 20.4 — the UNet latent prediction dominates the gap):
+    * latent_l2 upweighted 3x (the measured bottleneck),
+    * multi-resolution STFT loss (spectral convergence + log-mag L1 at
+      three scales) instead of one log-mag L2,
+    * the vocoder ALSO trains on the stop-gradient DECODED-PREDICTION
+      mel — the distribution it actually sees at inference (previously
+      clean-mel only: a train/serve mismatch)."""
     n_fft = n_fft or 4 * hop
     frames = lr_wave.shape[-1] // hop
     mel_lr = log_mel(lr_wave, n_fft=n_fft, hop=hop, n_mels=n_mels)[:, :frames]
@@ -91,22 +101,52 @@ def loss_fn(modules: FlashSRModules, params: dict, lr_wave: jnp.ndarray,
     mel_dec = modules.vae.apply(params["vae"], z_pred, method=MelVAE.decode)[..., 0]
     mel_dec_l2 = jnp.mean(jnp.square(mel_dec - mel_hr))
 
-    # vocoder learns from the CLEAN mel (stable target) and the decoded
-    # one; spectral losses at two resolutions constrain the waveform
+    # vocoder from the CLEAN mel (stable target)
     wav = modules.vocoder.apply(params["sr_vocoder"], mel_hr)[:, : hr_wave.shape[-1]]
     mel_out = log_mel(wav, n_fft=n_fft, hop=hop, n_mels=n_mels)[:, :frames]
     mel_l2 = jnp.mean(jnp.square(mel_out - mel_hr))
-    stft_l2 = _stft_logmag_l2(wav, hr_wave, n_fft=min(1024, n_fft), hop=max(hop // 4, 16))
-    return latent_l2 + ae_l2 + mel_dec_l2 + mel_l2 + 0.5 * stft_l2
+    mr = _mrstft(wav, hr_wave)
+
+    # vocoder from the PREDICTED-path mel (sg: adapts the vocoder to the
+    # inference input distribution without letting it drag the VAE)
+    wav_e2e = modules.vocoder.apply(
+        params["sr_vocoder"],
+        jax.lax.stop_gradient(mel_dec))[:, : hr_wave.shape[-1]]
+    mr_e2e = _mrstft(wav_e2e, hr_wave)
+
+    return (3.0 * latent_l2 + ae_l2 + mel_dec_l2 + mel_l2
+            + 0.5 * mr + 0.5 * mr_e2e)
 
 
-def _stft_logmag_l2(x: jnp.ndarray, y: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
+def _mrstft(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Multi-resolution STFT loss: spectral convergence + log-magnitude
+    L1 at three scales (the standard Parallel-WaveGAN/HiFi-GAN aux
+    pair), resolutions clipped to fit short dryrun inputs."""
     from ...ops.stft import stft_conv
-    rx, ix = stft_conv(x, n_fft, hop, window="hann_periodic")
-    ry, iy = stft_conv(y, n_fft, hop, window="hann_periodic")
-    lx = 0.5 * jnp.log(rx * rx + ix * ix + 1e-8)
-    ly = 0.5 * jnp.log(ry * ry + iy * iy + 1e-8)
-    return jnp.mean(jnp.square(lx - ly))
+
+    total = 0.0
+    n = 0
+    for n_fft in (512, 1024, 2048):
+        if n_fft * 2 > x.shape[-1]:
+            continue
+        hop = n_fft // 4
+        rx, ix = stft_conv(x, n_fft, hop, window="hann_periodic")
+        ry, iy = stft_conv(y, n_fft, hop, window="hann_periodic")
+        mx = jnp.sqrt(rx * rx + ix * ix + 1e-9)
+        my = jnp.sqrt(ry * ry + iy * iy + 1e-9)
+        total = total + (jnp.sqrt(jnp.sum(jnp.square(mx - my)))
+                         / (jnp.sqrt(jnp.sum(jnp.square(my))) + 1e-9))
+        total = total + jnp.mean(jnp.abs(jnp.log(mx) - jnp.log(my)))
+        n += 1
+    if n == 0:   # tiny dryrun inputs: one short-window pair
+        n_fft = max(64, x.shape[-1] // 4)
+        rx, ix = stft_conv(x, n_fft, n_fft // 4, window="hann_periodic")
+        ry, iy = stft_conv(y, n_fft, n_fft // 4, window="hann_periodic")
+        mx = jnp.sqrt(rx * rx + ix * ix + 1e-9)
+        my = jnp.sqrt(ry * ry + iy * iy + 1e-9)
+        total = jnp.mean(jnp.abs(jnp.log(mx) - jnp.log(my)))
+        n = 1
+    return total / n
 
 
 def make_train_step(modules: FlashSRModules, tx: optax.GradientTransformation,

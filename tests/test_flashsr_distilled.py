@@ -12,7 +12,9 @@ import jax.numpy as jnp
 import pytest
 
 from egregora_tpu.models.flashsr.distill import (PRETRAINED, distilled_config,
-                                                 load_pretrained, resolve_flashsr,
+                                                 load_pretrained,
+                                                 load_pretrained_with_cfg,
+                                                 resolve_flashsr,
                                                  synth_pair_batch)
 from egregora_tpu.models.flashsr.pipeline import CHUNK_SAMPLES, FlashSRPipeline
 
@@ -41,8 +43,7 @@ def test_distilled_weights_improve_lsd():
     passthrough by a wide margin, without giving up much SI-SDR."""
     from egregora_tpu.eval.metrics import lsd_sisdr_report
 
-    cfg = distilled_config()
-    params = load_pretrained()
+    cfg, params = load_pretrained_with_cfg()
     pipe = FlashSRPipeline(cfg, params=params)
     lr, hr = synth_pair_batch(jax.random.PRNGKey(123), 1, CHUNK_SAMPLES)
     out = pipe._jit_forward(params, lr, lowpass_input=False)
@@ -64,6 +65,6 @@ def test_resolve_flashsr_prefers_distilled(tmp_path, monkeypatch):
     monkeypatch.setenv("EGREGORA_TPU_WEIGHTS", str(tmp_path))
     cfg, params, source = resolve_flashsr()
     assert source == "distilled"
-    assert cfg.unet.base_channels == distilled_config().unet.base_channels
+    assert cfg.unet.base_channels == load_pretrained_with_cfg()[0].unet.base_channels
     n = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
     assert n < 10_000_000            # compact trio, not the full config
