@@ -89,8 +89,12 @@ def loss_fn(model: DACModel, params: dict, wav: jnp.ndarray) -> jnp.ndarray:
     # z's scale, decoupling the decoder from the encoder)
     denom_z = jax.lax.stop_gradient(jnp.mean(jnp.square(z))) + 1e-6
     latent_match = jnp.mean(jnp.square(z_q - jax.lax.stop_gradient(z))) / denom_z
-    return (40.0 * wave_l2 + _stft_l2(rec, wav) + 0.25 * commit + codebook
-            + latent_match + 0.5 * scale_reg)
+    # stft at 0.25: the spectral-convergence/log-mag pair at weight 1.0
+    # measurably stalled the AE (held-out SNR plateaued ~+0.4 dB by step
+    # 2.5k; the round-2 pure-L2 probe reached +4.6 dB in 800 steps) —
+    # the log-mag term's noise-floor gradients fight the waveform fit
+    return (40.0 * wave_l2 + 0.25 * _stft_l2(rec, wav) + 0.25 * commit
+            + codebook + latent_match + 0.5 * scale_reg)
 
 
 def ema_loss_fn(model: DACModel, params: dict, wav: jnp.ndarray):
@@ -108,7 +112,7 @@ def ema_loss_fn(model: DACModel, params: dict, wav: jnp.ndarray):
     scale_reg = jnp.square(rms - 1.0)
     denom_z = jax.lax.stop_gradient(jnp.mean(jnp.square(z))) + 1e-6
     latent_match = jnp.mean(jnp.square(z_q - jax.lax.stop_gradient(z))) / denom_z
-    loss = (40.0 * wave_l2 + _stft_l2(rec, wav) + 0.25 * commit
+    loss = (40.0 * wave_l2 + 0.25 * _stft_l2(rec, wav) + 0.25 * commit
             + latent_match + 0.5 * scale_reg)
     return loss, (codes, r_stack)
 
@@ -227,7 +231,7 @@ def ae_loss_fn(model: DACModel, params: dict, wav: jnp.ndarray) -> jnp.ndarray:
     rec = model.decoder.apply(params["decoder"], z)[:, : wav.shape[-1]]
     wave_l2 = jnp.mean(jnp.square(rec - wav))
     rms = jnp.sqrt(jnp.mean(jnp.square(z)) + 1e-9)
-    return 40.0 * wave_l2 + _stft_l2(rec, wav) + 0.5 * jnp.square(rms - 1.0)
+    return 40.0 * wave_l2 + 0.25 * _stft_l2(rec, wav) + 0.5 * jnp.square(rms - 1.0)
 
 
 def init_codebooks_from_data(model: DACModel, params: dict,

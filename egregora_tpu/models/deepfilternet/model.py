@@ -316,8 +316,10 @@ def enhance_mono_full(params: Dict, x: jnp.ndarray, post_filter: bool = False):
     n_frames = max(1, (t + lead) // HOP + 1)
     xp = jnp.pad(x, (lead, n_frames * HOP + N_FFT - t - lead))
     win = jnp.asarray(hann_periodic(N_FFT))
-    idx = jnp.arange(n_frames)[:, None] * HOP + jnp.arange(N_FFT)[None, :]
-    frames = jnp.take(xp, idx, axis=0) * win
+    # gather-free framing: arbitrary-index jnp.take lowers scalar-slow
+    # on TPU (ops/stft.frame_strided is pure strided slices)
+    from ...ops.stft import frame_strided
+    frames = frame_strided(xp, N_FFT, HOP)[:n_frames] * win
     spec = jnp.fft.rfft(frames, axis=-1)                # [T, 481]
 
     fb = jnp.asarray(erb_filterbank())
@@ -377,12 +379,17 @@ def enhance_mono_full(params: Dict, x: jnp.ndarray, post_filter: bool = False):
     # residual deep filter around the gained low band
     spec_out = spec_g.at[:, :NB_DF].set(spec_g[:, :NB_DF] + df_out)
 
-    # iSTFT (square-window WOLA)
+    # iSTFT (square-window WOLA).  N_FFT == 2*HOP, so each output sample
+    # receives exactly two frames' taps: the overlap-add decomposes into
+    # TWO dense shifted tracks (reshape + pad) — the arbitrary-index
+    # scatter-add this replaces is a measured TPU trap (ops/wola story)
     yfr = jnp.fft.irfft(spec_out, n=N_FFT, axis=-1) * win
-    pos = idx.reshape(-1)
-    total = (n_frames - 1) * HOP + N_FFT
-    acc = jnp.zeros(total).at[pos].add(yfr.reshape(-1))
-    wsum = jnp.zeros(total).at[pos].add(jnp.tile(win * win, n_frames))
+    a, b = yfr[:, :HOP], yfr[:, HOP:]
+    acc = (jnp.pad(a.reshape(-1), (0, HOP))
+           + jnp.pad(b.reshape(-1), (HOP, 0)))
+    w2 = win * win
+    wsum = (jnp.pad(jnp.tile(w2[:HOP], n_frames), (0, HOP))
+            + jnp.pad(jnp.tile(w2[HOP:], n_frames), (HOP, 0)))
     floor = 1e-3 * jnp.max(wsum)
     acc = acc * (wsum >= floor)
     y = acc / jnp.where(wsum >= floor, wsum, 1.0)
@@ -399,8 +406,9 @@ def erb_band_energies(x: jnp.ndarray) -> jnp.ndarray:
     n_frames = max(1, (t + lead) // HOP + 1)
     xp = jnp.pad(x, (lead, n_frames * HOP + N_FFT - t - lead))
     win = jnp.asarray(hann_periodic(N_FFT))
-    idx = jnp.arange(n_frames)[:, None] * HOP + jnp.arange(N_FFT)[None, :]
-    spec = jnp.fft.rfft(jnp.take(xp, idx, axis=0) * win, axis=-1)
+    from ...ops.stft import frame_strided
+    frames = frame_strided(xp, N_FFT, HOP)[:n_frames] * win
+    spec = jnp.fft.rfft(frames, axis=-1)
     return (spec.real ** 2 + spec.imag ** 2) @ jnp.asarray(erb_filterbank())
 
 

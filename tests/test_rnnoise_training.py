@@ -95,3 +95,28 @@ def test_dfn_shipped_weights_denoise():
     after = np.mean([snr(clean[i], out[i]) for i in range(3)])
     # shipped weights measure +15.1 dB; gate at +10 dB (VERDICT r2 #9)
     assert after > before + 10.0, f"improvement {after - before:.2f} dB < 10 dB"
+
+
+def test_dfn3_shipped_weights_denoise():
+    """DFN3 variant gate, mirroring the DFN2 one: shipped squeezed-GRU
+    weights must genuinely denoise (VERDICT r2 #3 — the variant may not
+    be a cosmetic alias)."""
+    from egregora_tpu.models.deepfilternet.train import (
+        load_pretrained as dfn_load, pretrained_path as dfn_path)
+    from egregora_tpu.models.deepfilternet.model import enhance_mono
+    if not dfn_path("DeepFilterNet3").exists():
+        pytest.skip("no shipped DFN3 weights")
+    params = dfn_load("DeepFilterNet3")
+    assert "gru_squeezed" in params      # the DFN3 topology, not DFN2's
+    rng = np.random.default_rng(778)
+    noisy, clean, _ = synth_batch(rng, 3, 40)
+    out = np.asarray(jax.vmap(lambda x: enhance_mono(params, jnp.asarray(x)))(
+        jnp.asarray(noisy)))
+
+    def snr(ref, sig):
+        err = ref - sig
+        return 10 * np.log10(np.sum(ref ** 2) / (np.sum(err ** 2) + 1e-12))
+
+    before = np.mean([snr(clean[i], noisy[i]) for i in range(3)])
+    after = np.mean([snr(clean[i], out[i]) for i in range(3)])
+    assert after > before + 10.0, f"improvement {after - before:.2f} dB < 10 dB"
