@@ -19,8 +19,8 @@ import numpy as np
 from egregora_tpu.core.audio import AudioBuffer, make_audio
 from egregora_tpu.eval.loudness import loudness_report
 from egregora_tpu.eval.metrics import lsd_sisdr_report
-from egregora_tpu.models.flashsr.pipeline import FlashSRConfig, FlashSRPipeline
-from egregora_tpu.models.rnnoise.model import FRAME, denoise, init_params
+from egregora_tpu.models.flashsr.pipeline import FlashSRPipeline
+from egregora_tpu.models.rnnoise.model import FRAME, denoise
 from egregora_tpu.ops.mix import adaptive_mix
 from egregora_tpu.ops.resample import resample
 from egregora_tpu.ops.spectral import spectral_enhance, upscale_factor
@@ -34,9 +34,11 @@ def main(in_path: str, out_path: str) -> None:
     print(f"[load] {audio.duration_s:.1f}s @{sr} ({audio.channels} ch)")
 
     # 1) denoise at 48 kHz with VAD-adaptive mix
+    from egregora_tpu.nodes.enhance_extras import Egregora_RNNoise_Denoise
+    rn_params = Egregora_RNNoise_Denoise._params()   # shipped weights
     x48 = resample(audio.samples, sr, 48000) if sr != 48000 else audio.samples
     pad = (-x48.shape[1]) % FRAME
-    wet, vads = denoise(init_params(0), jnp.pad(x48, ((0, 0), (0, pad))))
+    wet, vads = denoise(rn_params, jnp.pad(x48, ((0, 0), (0, pad))))
     wet = wet[:, : x48.shape[1]]
     den = jnp.stack([
         adaptive_mix(x48[c], wet[c], vads[c], strength=0.8,
@@ -45,8 +47,12 @@ def main(in_path: str, out_path: str) -> None:
         for c in range(x48.shape[0])])
     print(f"[denoise] done ({time.time()-t0:.1f}s)")
 
-    # 2) FlashSR chunked super-resolution (stays at 48 kHz)
-    pipe = FlashSRPipeline(FlashSRConfig())
+    # 2) FlashSR chunked super-resolution (stays at 48 kHz); real
+    # converted checkpoints > shipped distilled > random (loud warning)
+    from egregora_tpu.models.flashsr.distill import resolve_flashsr
+    cfg, params, source = resolve_flashsr()
+    print(f"[flashsr] weights: {source}")
+    pipe = FlashSRPipeline(cfg, params=params)
     sr_out = pipe.process(AudioBuffer(den, 48000, {}), output_sr=48000,
                           max_batch=8)
     print(f"[flashsr] done ({time.time()-t0:.1f}s)")
