@@ -163,11 +163,28 @@ def ema_codebook_update(cfg: DACConfig, params: dict, ema: dict,
                  "sums": jnp.stack(new_sums)}
 
 
+def proj_loss_fn(model: DACModel, params: dict, wav: jnp.ndarray):
+    """RVQ-warmup objective: make the quantizer chain reproduce the
+    (frozen) encoder latent BEFORE joint training.  Phase A never
+    touches proj_in/proj_out, so entering the joint phase with them at
+    random init feeds the decoder garbage-scaled z_q — the measured
+    failure mode was an immediate loss explosion to ~1e10 that wrecked
+    the trained AE.  Gradients here are masked to the rvq subtree."""
+    z = jax.lax.stop_gradient(
+        model.encoder.apply(params["encoder"], wav[..., None]))
+    z_q, codes, commit, _, r_stack = model.rvq.apply(
+        params["rvq"], z, with_losses=True, collect_stage_data=True)
+    denom_z = jnp.mean(jnp.square(z)) + 1e-6
+    latent_match = jnp.mean(jnp.square(z_q - z)) / denom_z
+    return latent_match + 0.25 * commit, (codes, r_stack)
+
+
 def make_ema_scan_step(model: DACModel, tx: optax.GradientTransformation,
-                       batch: int, length: int, sr: int, scan_size: int):
-    """EMA-phase analog of ``make_scan_step``: gradient step on
-    encoder/decoder/projections + EMA codebook step, ``scan_size`` of
-    them per dispatch."""
+                       batch: int, length: int, sr: int, scan_size: int,
+                       loss=ema_loss_fn, rvq_only: bool = False):
+    """EMA-phase analog of ``make_scan_step``: gradient step + EMA
+    codebook step, ``scan_size`` of them per dispatch.  ``rvq_only``
+    zeroes encoder/decoder gradients (the projection-warmup phase)."""
     from ..flashsr.distill import synth_pair_batch
 
     cfg = model.cfg
@@ -177,7 +194,11 @@ def make_ema_scan_step(model: DACModel, tx: optax.GradientTransformation,
         kd, kr = jax.random.split(k)
         _, hr = synth_pair_batch(kd, batch, length, sr=sr)
         (lv, (codes, r_stack)), grads = jax.value_and_grad(
-            functools.partial(ema_loss_fn, model), has_aux=True)(params, hr)
+            functools.partial(loss, model), has_aux=True)(params, hr)
+        if rvq_only:
+            grads = {k2: (v if k2 == "rvq" else
+                          jax.tree_util.tree_map(jnp.zeros_like, v))
+                     for k2, v in grads.items()}
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         params, ema = ema_codebook_update(cfg, params, ema, codes, r_stack, kr)
@@ -340,7 +361,7 @@ def make_scan_step(model: DACModel, tx: optax.GradientTransformation,
 
 def _run_phase(model, params, tag, loss, steps, batch, length, lr, key,
                scan_size, log_every, use_ema: bool = False, eval_fn=None,
-               ckpt_path=None, ckpt_every: int = 0):
+               ckpt_path=None, ckpt_every: int = 0, rvq_only: bool = False):
     """One optimization phase.  ``use_ema=True`` runs the EMA-codebook
     step (``make_ema_scan_step``; ``loss`` ignored); ``eval_fn`` (from
     ``make_eval_snr``) logs held-out roundtrip SNR alongside the loss;
@@ -357,7 +378,9 @@ def _run_phase(model, params, tag, loss, steps, batch, length, lr, key,
     sr = model.cfg.sample_rate
     sz = max(1, scan_size)
     if use_ema:
-        step = make_ema_scan_step(model, tx, batch, length, sr, sz)
+        step = make_ema_scan_step(model, tx, batch, length, sr, sz,
+                                  loss=(loss or ema_loss_fn),
+                                  rvq_only=rvq_only)
         ema = init_ema_state(model.cfg, params)
     else:
         step = make_scan_step(model, tx, batch, length, sr, sz, loss=loss)
@@ -414,12 +437,20 @@ def train(cfg: DACConfig = None, steps: int = 2000, batch: int = 8,
     ckpt = PRETRAINED[model_type].with_suffix(".ckpt.npz") \
         if model_type in PRETRAINED else None
 
-    key, ka, kc, kb = jax.random.split(key, 4)
+    proj_steps = max(scan_size, int(round(steps * 0.1)))
+    key, ka, kc, kp, kb = jax.random.split(key, 5)
     params = _run_phase(model, params, "ae", ae_loss_fn, ae_steps, batch,
                         length, lr, ka, scan_size, log_every, eval_fn=ev_ae)
     _, warm = synth_pair_batch(kc, batch, length, sr=cfg.sample_rate)
     params = init_codebooks_from_data(model, params, warm, seed=seed)
-    params = _run_phase(model, params, "vq", None, steps - ae_steps, batch,
+    # projection warmup: rvq-only gradients until z_q tracks z — entering
+    # the joint phase with random proj_in/proj_out fed the decoder
+    # garbage-scaled z_q and exploded the loss to ~1e10 (run r3c)
+    params = _run_phase(model, params, "proj", proj_loss_fn, proj_steps,
+                        batch, length, lr * 0.5, kp, scan_size, log_every,
+                        use_ema=True, eval_fn=ev, rvq_only=True)
+    params = _run_phase(model, params, "vq", None,
+                        steps - ae_steps - proj_steps, batch,
                         length, lr * 0.5, kb, scan_size, log_every,
                         use_ema=True, eval_fn=ev,
                         ckpt_path=ckpt, ckpt_every=3000)

@@ -269,35 +269,54 @@ def denoise_channel_full(params: Dict, x: jnp.ndarray):
     rnn band gains [F, 22], analysis band energies [F, 22]).  The gains
     and energies feed the oracle-gain distillation loss (the xiph
     training formulation); node callers use ``denoise_channel``.
+
+    TPU structure: everything that does NOT depend on the frame
+    recurrence is hoisted out of the ``lax.scan`` and computed batched
+    over all frames — the analysis FFT, band energies, silence flags,
+    log-band/BFCC features, and the rolling pitch windows up front; the
+    synthesis iFFT + 50%-overlap-add afterwards (two dense tracks,
+    WINDOW == 2*FRAME).  The scan carries only the genuinely sequential
+    state (GRUs, cepstral history, gain floor, pitch continuity) and
+    runs ONE 960-point FFT per frame (the period-dependent pitch
+    spectrum) instead of three.
     """
     from ...ops.iir import biquad
+    from ...ops.stft import frame_strided
 
     n_frames = x.shape[0] // FRAME
     # C-scale and DC-block once over the whole channel (exact equivalent
     # of the per-frame biquad with carried state: causal LTI).
     xs = biquad(x[: n_frames * FRAME] * PCM_SCALE,
                 b=(-1.99599, 0.99600), a=(-1.98989, 0.98990))
-    frames = xs.reshape(n_frames, FRAME)
     win = jnp.asarray(_vorbis_window())
     bm_e = jnp.asarray(_band_matrix_energy())
     bm_i = jnp.asarray(_band_matrix_interp())
     dct = jnp.asarray(_dct_matrix())
     cfg = RNNoiseConfig()
+    sqmag = lambda z: z.real * z.real + z.imag * z.imag  # abs² sans abs'(0)=nan
 
-    def step(carry, cur):
-        (prev_frame, pitch_buf, cep_mem, ola,
-         h_vad, h_noise, h_den, lastg, prev_period, prev_gain) = carry
+    # ---- batched analysis over ALL frames (was per-step in the scan) ----
+    # frame t analyzes concat(frame[t-1], frame[t]); zero history at t=0
+    bufs = frame_strided(jnp.concatenate([jnp.zeros(FRAME), xs]),
+                         WINDOW, FRAME)[:n_frames] * win       # [F, 960]
+    spec_all = jnp.fft.rfft(bufs, axis=-1) / WINDOW            # kiss 1/N
+    ex_all = sqmag(spec_all) @ bm_e                            # [F, 22]
+    silence_all = jnp.sum(ex_all, axis=-1) < SILENCE_E         # [F]
+    ly_all = jax.vmap(_log_band_follow)(ex_all)
+    bfcc_all = ly_all @ dct
+    bfcc_all = bfcc_all.at[:, 0].add(-12.0).at[:, 1].add(-4.0)
+    # rolling 1728-sample pitch windows (updated UNCONDITIONALLY in the
+    # C code, so they are a pure sliding view of the input)
+    pitch_bufs = frame_strided(
+        jnp.concatenate([jnp.zeros(PITCH_BUF - FRAME), xs]),
+        PITCH_BUF, FRAME)[:n_frames]                           # [F, 1728]
 
-        # ---- analysis ----
-        buf = jnp.concatenate([prev_frame, cur]) * win
-        spec = jnp.fft.rfft(buf) / WINDOW              # kiss forward 1/N
-        sqmag = lambda z: z.real * z.real + z.imag * z.imag  # abs² sans abs'(0)=nan
-        ex = sqmag(spec) @ bm_e                        # [22]
-        e_total = jnp.sum(ex)
-        silence = e_total < SILENCE_E
+    def step(carry, inp):
+        (cep_mem, h_vad, h_noise, h_den, lastg,
+         prev_period, prev_gain) = carry
+        spec, ex, silence, bfcc, pitch_buf = inp
 
-        # ---- pitch ----
-        pitch_buf = jnp.concatenate([pitch_buf[FRAME:], cur])
+        # ---- pitch (sequential: previous-period continuity) ----
         period, pgain = _pitch_search(pitch_buf, prev_period, prev_gain)
         start = (PITCH_BUF - WINDOW) - period.astype(jnp.int32)
         p_wave = jax.lax.dynamic_slice(pitch_buf, (start,), (WINDOW,)) * win
@@ -307,9 +326,6 @@ def denoise_channel_full(params: Dict, x: jnp.ndarray):
         exp = exp_num / jnp.sqrt(1e-3 + ex * ep)       # [22] band pitch corr
 
         # ---- features (denoise.c layout) ----
-        ly = _log_band_follow(ex)
-        bfcc = ly @ dct
-        bfcc = bfcc.at[0].add(-12.0).at[1].add(-4.0)
         ceps_1, ceps_2 = cep_mem[0], cep_mem[1]
         f_head = bfcc.at[:NB_DELTA].set(
             bfcc[:NB_DELTA] + ceps_1[:NB_DELTA] + ceps_2[:NB_DELTA])
@@ -360,31 +376,34 @@ def denoise_channel_full(params: Dict, x: jnp.ndarray):
         norm = jnp.sqrt((ex + 1e-9) / (1e-8 + new_e))
         spec_f = spec_f * (bm_i @ norm)
 
-        # ---- gains (with 0.6 floor memory) + synthesis ----
+        # ---- gains (with 0.6 floor memory) ----
         gains_s = jnp.maximum(gains, 0.6 * lastg)
         spec_out = spec_f * (bm_i @ gains_s)
         # silence: pass the frame through untouched, freeze the state
         spec_out = jnp.where(silence, spec, spec_out)
-        y = jnp.fft.irfft(spec_out * WINDOW, n=WINDOW) * win
-        out = ola + y[:FRAME]
-        new_ola = y[FRAME:]
 
         sel = lambda new, old: jnp.where(silence, old, new)
-        carry = (cur, pitch_buf, sel(new_mem, cep_mem), new_ola,
+        carry = (sel(new_mem, cep_mem),
                  sel(h_vad_n, h_vad), sel(h_noise_n, h_noise),
                  sel(h_den_n, h_den), sel(gains_s, lastg),
                  sel(period, prev_period), sel(pgain, prev_gain))
-        return carry, (out, jnp.where(silence, 0.0, vad), gains, ex)
+        return carry, (spec_out, jnp.where(silence, 0.0, vad), gains)
 
     carry0 = (
-        jnp.zeros(FRAME), jnp.zeros(PITCH_BUF),
-        jnp.zeros((CEPS_MEM, NB_BANDS)), jnp.zeros(FRAME),
+        jnp.zeros((CEPS_MEM, NB_BANDS)),
         jnp.zeros(cfg.vad_gru), jnp.zeros(cfg.noise_gru),
         jnp.zeros(cfg.denoise_gru), jnp.zeros(NB_BANDS),
         jnp.float32(300.0), jnp.float32(0.0),
     )
-    _, (outs, vads, gains, ex) = jax.lax.scan(step, carry0, frames)
-    return outs.reshape(-1)[: x.shape[0]] / PCM_SCALE, vads, gains, ex
+    _, (spec_outs, vads, gains) = jax.lax.scan(
+        step, carry0, (spec_all, ex_all, silence_all, bfcc_all, pitch_bufs))
+
+    # ---- batched synthesis + 50% OLA (was per-step irfft + carry) ----
+    yfr = jnp.fft.irfft(spec_outs * WINDOW, n=WINDOW, axis=-1) * win  # [F,960]
+    # out frame t = yfr[t, :480] + yfr[t-1, 480:]  (ola carry unrolled)
+    outs = yfr[:, :FRAME] + jnp.concatenate(
+        [jnp.zeros((1, FRAME)), yfr[:-1, FRAME:]], axis=0)
+    return outs.reshape(-1)[: x.shape[0]] / PCM_SCALE, vads, gains, ex_all
 
 
 @functools.partial(jax.jit, static_argnames=())
