@@ -52,9 +52,23 @@ def check_weights() -> None:
     if missing:
         print(f"[weights] FlashSR: missing {', '.join(missing)} in {d}")
         print(f"[weights]   place the files from HF dataset {HF_DATASET} there; "
-              "random init is used until then")
+              "the shipped distilled trio serves until then")
     else:
         print(f"[weights] FlashSR: all of {', '.join(FLASHSR_FILES)} present in {d}")
+
+    # shipped distilled sets (every engine must serve REAL weights out
+    # of the box; random-init serve paths warn loudly)
+    from egregora_tpu.models.dac.train import PRETRAINED as DAC_PRE
+    from egregora_tpu.models.deepfilternet.train import pretrained_path as dfn_path
+    from egregora_tpu.models.flashsr.distill import PRETRAINED as SR_PRE
+    from egregora_tpu.models.rnnoise.train import pretrained_path as rn_path
+    rows = [("FlashSR distilled trio", SR_PRE.exists()),
+            ("RNNoise", rn_path().exists()),
+            ("DeepFilterNet2", dfn_path("DeepFilterNet2").exists()),
+            ("DeepFilterNet3", dfn_path("DeepFilterNet3").exists())]
+    rows += [(f"DAC {t}", p.exists()) for t, p in sorted(DAC_PRE.items())]
+    for name, ok in rows:
+        print(f"[weights] shipped {name}: {'present' if ok else 'MISSING'}")
 
 
 def warmups() -> None:
