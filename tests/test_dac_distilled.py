@@ -1,54 +1,77 @@
-"""Shipped distilled DAC weights: quality gate + build_dac wiring.
+"""Shipped distilled DAC weights: quality gates + build_dac wiring.
 
 Mirrors the RNNoise/DFN/FlashSR shipped-weight gates: the in-repo
 compact codec must beat a meaningful roundtrip-SNR bar on held-out
 synthetic music (the reference's DAC nodes are a lossy codec roundtrip,
 ``egregora_audio_enhance_extras.py:750-857`` — useless at random init).
+Round-3 bar: >= 8 dB roundtrip SNR (44 kHz measures +10.2; EMA
+codebooks + rvq projection warmup + dim-16 books), LSD <= 10 dB.
 """
 import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
-from egregora_tpu.models.dac.train import (PRETRAINED, distilled_config,
-                                           load_pretrained, roundtrip_snr_db)
+from egregora_tpu.models.dac.train import (PRETRAINED, load_pretrained,
+                                           roundtrip_snr_db)
 
-pytestmark = pytest.mark.skipif(
-    not PRETRAINED["44khz"].exists(),
-    reason="shipped DAC weights not present (distillation not yet run)")
+MODEL_TYPES = ["44khz", "24khz", "16khz"]
 
 
-def _held_out(n=3, length=44100):
+def _held_out(sr, n=3):
     from egregora_tpu.models.flashsr.distill import synth_pair_batch
-    _, hr = synth_pair_batch(jax.random.PRNGKey(1234), n, length, sr=44100)
+    _, hr = synth_pair_batch(jax.random.PRNGKey(1234), n, sr, sr=sr)
     return np.asarray(hr)
 
 
-def test_shipped_dac_roundtrip_snr():
+def _needs(model_type):
+    if not PRETRAINED[model_type].exists():
+        pytest.skip(f"shipped DAC {model_type} weights not present")
+
+
+@pytest.mark.parametrize("model_type", MODEL_TYPES)
+def test_shipped_dac_roundtrip_snr(model_type):
     from egregora_tpu.models.dac.model import DACModel
-    cfg, params = load_pretrained("44khz")
+    _needs(model_type)
+    cfg, params = load_pretrained(model_type)
     model = DACModel(cfg)
-    wav = _held_out()
+    wav = _held_out(cfg.sample_rate)
     snr = roundtrip_snr_db(model, params, wav)
-    # random-init measures ~-19 dB and degenerate spectral-average
-    # solutions ~-1 dB; the shipped weights measure ~+2.5-3.5 dB on
-    # held-out synthetic music — the gate asserts genuinely
-    # signal-preserving codec behavior with margin
-    assert snr > 2.0, f"shipped DAC roundtrip SNR {snr:.2f} dB < 2 dB gate"
+    # random-init measures ~-19 dB, spectral-average degenerates ~-1 dB,
+    # the round-2 weights +2.5-3.5 dB; round-3 gate demands a genuinely
+    # good codec (VERDICT r2 #1: raise 2 dB -> 8 dB)
+    assert snr > 8.0, f"{model_type} roundtrip SNR {snr:.2f} dB < 8 dB gate"
+
+
+@pytest.mark.parametrize("model_type", MODEL_TYPES)
+def test_shipped_dac_roundtrip_lsd(model_type):
+    from egregora_tpu.eval.metrics import lsd_sisdr_report
+    from egregora_tpu.models.dac.model import DACModel
+    _needs(model_type)
+    cfg, params = load_pretrained(model_type)
+    model = DACModel(cfg)
+    wav = _held_out(cfg.sample_rate)
+    z_q, _ = model.encode(params, jnp.asarray(wav))
+    rec = np.asarray(model.decode(params, z_q))[:, : wav.shape[-1]]
+    lsd = np.mean([float(lsd_sisdr_report(jnp.asarray(wav[i]),
+                                          jnp.asarray(rec[i]))["lsd_mean_db"])
+                   for i in range(wav.shape[0])])
+    assert lsd < 10.0, f"{model_type} roundtrip LSD {lsd:.2f} dB >= 10 dB"
 
 
 def test_build_dac_uses_shipped_weights(tmp_path, monkeypatch):
     """With no converted checkpoint in the store, build_dac returns the
     shipped compact codec (not random init)."""
     from egregora_tpu.models.dac import model as dacm
+    _needs("44khz")
     monkeypatch.setenv("EGREGORA_TPU_WEIGHTS", str(tmp_path))
     dacm._CACHE.clear()
     model, params, sr = dacm.build_dac("44khz")
     assert sr == 44100
     assert model.cfg == load_pretrained("44khz")[0]  # shipped geometry
-    wav = _held_out()   # 3-clip set: single-clip SNR varies +-3 dB
-    snr = roundtrip_snr_db(model, params, wav)
-    assert snr > 2.0
+    snr = roundtrip_snr_db(model, params, _held_out(44100))
+    assert snr > 8.0
     dacm._CACHE.clear()
 
 
@@ -56,9 +79,10 @@ def test_dac_codes_contract():
     """codes [C, n_q, T/hop] int; decode(z_q) reconstructs finite audio
     at the same length contract the nodes rely on."""
     from egregora_tpu.models.dac.model import DACModel
+    _needs("44khz")
     cfg, params = load_pretrained("44khz")
     model = DACModel(cfg)
-    wav = _held_out(n=1, length=cfg.hop * 20 + 13)
+    wav = _held_out(cfg.hop * 20 + 13, n=1)
     z_q, codes = model.encode(params, wav)
     assert codes.shape[1] == cfg.n_codebooks
     assert codes.dtype in (np.int32, np.int64) or "int" in str(codes.dtype)
