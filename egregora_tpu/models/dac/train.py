@@ -47,8 +47,12 @@ def distilled_config(model_type: str = "44khz") -> DACConfig:
     # restarts is the standard stabilization).  dim 16 matters: rank-8
     # stages cap z_q at rank 72 against a 384-dim latent — a measured
     # ~0 dB roundtrip ceiling in the round-3 first run
+    # 16 kHz gets hop 64 (strides 2,4,4,2): at hop 128 its frame rate is
+    # only 125 fps (vs 344 at 44.1k) — measured +3.6 dB plateau; halving
+    # the hop doubles the code rate where the audio is densest
+    strides = (2, 4, 4, 2) if model_type == "16khz" else (2, 4, 4, 4)
     return DACConfig(sample_rate=_RATES[model_type], encoder_dim=24,
-                     strides=(2, 4, 4, 4), decoder_dim=384, n_codebooks=9,
+                     strides=strides, decoder_dim=384, n_codebooks=9,
                      codebook_size=1024, codebook_dim=16, res_scale=0.5,
                      output_tanh=False, alpha_floor=0.05)
 
@@ -288,48 +292,6 @@ def init_codebooks_from_data(model: DACModel, params: dict,
     out = dict(params)
     out["rvq"] = {"params": rvq}
     return out
-
-
-def make_dead_code_restart(model: DACModel):
-    """Jitted dead-code restart: recompute assignments over a fresh
-    batch, and replace every UNUSED codebook row with a random projected
-    residual sample (+1% noise).  Codebook utilization collapsed to a
-    few dozen of 1024 entries per book during joint VQ training without
-    this — the standard VQ-VAE 'random restart' countermeasure."""
-    cfg = model.cfg
-
-    @jax.jit
-    def restart(params, wav, key):
-        z = model.encoder.apply(params["encoder"], wav[..., None])
-        rvq = dict(params["rvq"]["params"])
-        residual = z
-        for i in range(cfg.n_codebooks):
-            win = rvq[f"proj_in_{i}"]["kernel"]
-            bin_ = rvq[f"proj_in_{i}"]["bias"]
-            book = rvq[f"codebook_{i}"]
-            r = residual @ win + bin_                       # [B, T, d]
-            d2 = (jnp.sum(r ** 2, -1, keepdims=True) - 2.0 * r @ book.T
-                  + jnp.sum(book ** 2, -1)[None, None, :])
-            idx = jnp.argmin(d2, -1)
-            used = jnp.zeros((cfg.codebook_size,)).at[idx.reshape(-1)].add(1.0)
-            r_flat = r.reshape(-1, cfg.codebook_dim)
-            key, k1, k2 = jax.random.split(key, 3)
-            picks = r_flat[jax.random.randint(k1, (cfg.codebook_size,), 0,
-                                              r_flat.shape[0])]
-            picks = picks * (1.0 + 0.01 * jax.random.normal(
-                k2, picks.shape))
-            book = jnp.where((used == 0.0)[:, None], picks, book)
-            rvq[f"codebook_{i}"] = book
-            d2 = (jnp.sum(r ** 2, -1, keepdims=True) - 2.0 * r @ book.T
-                  + jnp.sum(book ** 2, -1)[None, None, :])
-            q = (book[jnp.argmin(d2, -1)] @ rvq[f"proj_out_{i}"]["kernel"]
-                 + rvq[f"proj_out_{i}"]["bias"])
-            residual = residual - q
-        out = dict(params)
-        out["rvq"] = {"params": rvq}
-        return out
-
-    return restart
 
 
 def make_scan_step(model: DACModel, tx: optax.GradientTransformation,
