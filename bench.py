@@ -265,6 +265,7 @@ def bench_fullchain(pipe, jnp, secs: int = 30) -> None:
 
     rn_params = Egregora_RNNoise_Denoise._params()
     in_sr = 16000
+    use_mm = jax.devices()[0].platform not in ("cpu",)
     rng = np.random.default_rng(6)
     x16 = jnp.asarray((rng.standard_normal((1, in_sr * secs)) * 0.1)
                       .astype(np.float32))
@@ -282,7 +283,10 @@ def bench_fullchain(pipe, jnp, secs: int = 30) -> None:
                            vad_threshold=0.9, vad_smooth_ms=50,
                            frame_hop=FRAME)[None]
         y48 = sr_fn(params, den)
-        out96 = spectral_enhance(y48, 2, 50, 0.6)     # IST pass -> 96 kHz
+        # matmul-FFT path on accelerators, as the node layer does — the
+        # native TPU FFT on a 2.88M non-pow2 signal is a measured trap
+        # (first fullchain run: 4.1x RTF; everything else summed <1 s)
+        out96 = spectral_enhance(y48, 2, 50, 0.6, use_matmul_fft=use_mm)
         loud = loudness_report(out96, 96000)
         ref96 = resample(x, in_sr, 96000)
         n = min(ref96.shape[1], out96.shape[1])

@@ -58,8 +58,11 @@ def main(in_path: str, out_path: str) -> None:
     print(f"[flashsr] done ({time.time()-t0:.1f}s)")
 
     # 3) Fat Llama light pass (few iterations), then 96 kHz delivery
+    import jax
+    use_mm = jax.devices()[0].platform not in ("cpu",)
     factor = max(2, upscale_factor(48000, sr_out.channels, 1411))
-    enh = spectral_enhance(sr_out.samples, factor, 50, 0.6)
+    enh = spectral_enhance(sr_out.samples, factor, 50, 0.6,
+                           use_matmul_fft=use_mm)
     out96 = resample(enh, 48000 * factor, 96000)
     print(f"[enhance] factor {factor} -> 96 kHz ({time.time()-t0:.1f}s)")
 
