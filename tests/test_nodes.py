@@ -262,13 +262,14 @@ def test_wpe_batch_matches_per_item():
 
 # ---------------- fail-loud random-init serve paths (VERDICT r2 #10) --------
 
-def test_dfn3_variant_warns_without_weights(capsys):
-    """DeepFilterNet3 without shipped weights must (a) warn loudly and
-    (b) build the genuinely different squeezed-GRU topology."""
+def test_dfn3_variant_warns_without_weights(capsys, monkeypatch):
+    """DeepFilterNet3 with its shipped weights REMOVED must (a) warn
+    loudly and (b) still build the genuinely different squeezed-GRU
+    topology (the weight-less fallback path stays fail-loud forever,
+    not just until weights shipped)."""
+    import egregora_tpu.models.deepfilternet.train as dfnt
     cls = egregora_tpu.NODE_CLASS_MAPPINGS["Egregora_DeepFilterNet_Denoise"]
-    from egregora_tpu.models.deepfilternet.train import load_pretrained
-    if load_pretrained("DeepFilterNet3") is not None:
-        pytest.skip("DFN3 weights are shipped — warning path not reachable")
+    monkeypatch.setattr(dfnt, "load_pretrained", lambda variant=None: None)
     cls._PARAMS.pop("DeepFilterNet3", None)
     params = cls._params("DeepFilterNet3")
     assert "WARNING" in capsys.readouterr().out
@@ -277,16 +278,16 @@ def test_dfn3_variant_warns_without_weights(capsys):
 
 
 def test_dac_warns_on_random_init(tmp_path, monkeypatch, capsys):
-    """build_dac for a model_type with neither converted checkpoint nor
-    shipped weights prints a loud warning (ADVICE r2)."""
+    """build_dac with neither converted checkpoint nor shipped weights
+    prints a loud warning (ADVICE r2) — shipped sets are masked out so
+    the fallback path stays covered."""
     from egregora_tpu.models.dac import model as dacm
     from egregora_tpu.models.dac import train as dact
     monkeypatch.setenv("EGREGORA_TPU_WEIGHTS", str(tmp_path))
-    missing = [t for t in ("24khz", "16khz", "44khz")
-               if not dact.PRETRAINED[t].exists()]
-    if not missing:
-        pytest.skip("all DAC model types ship weights — fallback unreachable")
+    monkeypatch.setattr(dact, "PRETRAINED",
+                        {k: tmp_path / f"absent_{k}.npz"
+                         for k in dact.PRETRAINED})
     dacm._CACHE.clear()
-    dacm.build_dac(missing[0])
+    dacm.build_dac("24khz")
     assert "WARNING" in capsys.readouterr().out
     dacm._CACHE.clear()
