@@ -189,20 +189,31 @@ def make_distill_scan(modules, tx, batch: int, length: int, scan_size: int,
 def distill(steps: int = 3000, batch: int = 8, frames: int = 128,
             lr: float = 2e-4, seed: int = 0, out_path: Path = PRETRAINED,
             log_every: int = 100, scan_size: int = 1,
-            cfg: FlashSRConfig = None, ckpt_every: int = 0) -> dict:
+            cfg: FlashSRConfig = None, ckpt_every: int = 0,
+            resume: bool = False) -> dict:
     """Run the distillation and write ``pretrained.npz`` (float16).
 
     ``ckpt_every`` > 0 additionally saves the weights + held-out
     LSD/SI-SDR every that many steps (long TPU runs survive
     interruption; the trajectory is observable from the log).
+    ``resume`` continues from the shipped ``out_path`` weights (fresh
+    optimizer — pair with a lower ``lr`` for fine-tuning runs).
     Returns the final metrics dict (also written next to the npz)."""
     from .pipeline import FlashSRModules
     from .train import make_optimizer
 
     length = 480 * frames
-    cfg = cfg or distilled_config()
-    modules = FlashSRModules(cfg)
-    params = modules.init_params(seed)
+    if resume:
+        shipped = load_pretrained_with_cfg(out_path)
+        if shipped is None:
+            raise FileNotFoundError(f"--resume: no weights at {out_path}")
+        cfg, params = shipped
+        modules = FlashSRModules(cfg)
+        print(f"[distill] resuming from {out_path}", flush=True)
+    else:
+        cfg = cfg or distilled_config()
+        modules = FlashSRModules(cfg)
+        params = modules.init_params(seed)
     tx = make_optimizer(lr)
     opt_state = tx.init(params)
     base = jax.random.PRNGKey(seed + 1)
@@ -358,24 +369,40 @@ def resolve_flashsr(seed: int = 0):
 # quality gate
 # ---------------------------------------------------------------------------
 
+_EVAL_CACHE: dict = {}
+
+
 def evaluate(params, cfg: FlashSRConfig, seed: int = 7, n: int = 4) -> dict:
     """LSD / SI-SDR of pipeline output vs HR truth on fresh synthetic
     pairs at the full 5.12 s chunk size, against the LR passthrough
-    baseline (the reference node's own eval contract)."""
+    baseline (the reference node's own eval contract).
+
+    Fused into ONE jitted program (synth + forward + vmapped metrics),
+    cached per (geometry, n): the earlier eager per-item version
+    dispatched a soup of tiny programs that each cost a multi-minute
+    remote compile through the relay — a mid-training checkpoint eval
+    stalled the trainer for ~an hour."""
     from ...eval.metrics import lsd_sisdr_report
     from .pipeline import CHUNK_SAMPLES, FlashSRPipeline
 
-    pipe = FlashSRPipeline(cfg, params=params)
-    lr_w, hr_w = synth_pair_batch(jax.random.PRNGKey(seed), n, CHUNK_SAMPLES)
-    out = pipe._jit_forward(params, lr_w, lowpass_input=False)
+    cache_key = (_cfg_to_json(cfg), n)
+    fn = _EVAL_CACHE.get(cache_key)
+    if fn is None:
+        pipe = FlashSRPipeline(cfg, params=params)
 
-    def mean_report(est):
-        reps = [lsd_sisdr_report(hr_w[i], est[i]) for i in range(n)]
-        return (float(np.mean([float(r["lsd_mean_db"]) for r in reps])),
-                float(np.mean([float(r["si_sdr_db"]) for r in reps])))
+        @jax.jit
+        def fn(params, key):
+            lr_w, hr_w = synth_pair_batch(key, n, CHUNK_SAMPLES)
+            out = pipe.chunk_forward(params, lr_w, lowpass_input=False)
+            rep = jax.vmap(lambda hr, est: lsd_sisdr_report(hr, est))
+            r_pt, r_md = rep(hr_w, lr_w), rep(hr_w, out)
+            return (jnp.mean(r_pt["lsd_mean_db"]), jnp.mean(r_md["lsd_mean_db"]),
+                    jnp.mean(r_pt["si_sdr_db"]), jnp.mean(r_md["si_sdr_db"]))
 
-    lsd_pt, sisdr_pt = mean_report(lr_w)
-    lsd_md, sisdr_md = mean_report(out)
+        _EVAL_CACHE[cache_key] = fn
+
+    lsd_pt, lsd_md, sisdr_pt, sisdr_md = (
+        float(v) for v in fn(params, jax.random.PRNGKey(seed)))
     return {
         "lsd_passthrough": lsd_pt, "lsd_model": lsd_md,
         "sisdr_passthrough": sisdr_pt, "sisdr_model": sisdr_md,
@@ -396,9 +423,12 @@ if __name__ == "__main__":
     ap.add_argument("--ckpt-every", type=int, default=0,
                     help="save + eval every N steps (long runs)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the shipped pretrained.npz "
+                         "(fresh optimizer; pair with a lower --lr)")
     a = ap.parse_args()
     if a.cpu:
         jax.config.update("jax_platforms", "cpu")
     print("devices:", jax.devices(), flush=True)
     distill(steps=a.steps, batch=a.batch, frames=a.frames, lr=a.lr, seed=a.seed,
-            scan_size=a.scan, ckpt_every=a.ckpt_every)
+            scan_size=a.scan, ckpt_every=a.ckpt_every, resume=a.resume)

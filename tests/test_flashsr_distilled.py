@@ -61,6 +61,15 @@ def test_distilled_weights_improve_lsd():
     assert sisdr_md > -2.0, f"SI-SDR {sisdr_md:.2f} dB below -2 dB guard"
 
 
+def test_distill_resume_requires_weights(tmp_path):
+    """--resume against a missing npz must fail fast, not silently
+    train from random init (the fine-tune path's one footgun)."""
+    from egregora_tpu.models.flashsr.distill import distill
+
+    with pytest.raises(FileNotFoundError):
+        distill(steps=1, resume=True, out_path=tmp_path / "absent.npz")
+
+
 @needs_weights
 def test_resolve_flashsr_prefers_distilled(tmp_path, monkeypatch):
     """With no converted checkpoints on disk the resolver must pick the
