@@ -419,6 +419,32 @@ def train(cfg: DACConfig = None, steps: int = 2000, batch: int = 8,
     return model, params
 
 
+def finetune(model_type: str = "44khz", steps: int = 6000, batch: int = 8,
+             length: int = 16384, lr: float = 5e-5, seed: int = 10,
+             scan_size: int = 1, log_every: int = 100):
+    """Continue the VQ phase from the shipped codec (the FlashSR
+    ``--resume`` analog): geometry + params load from the npz, the EMA
+    codebook state re-derives from the loaded codebooks
+    (``init_ema_state``), and a fresh low-lr optimizer fine-tunes the
+    whole codec.  Mid-run checkpoints go to the sibling ``.ckpt.npz``;
+    the caller ships PRETRAINED only on successful completion."""
+    shipped = load_pretrained(model_type)
+    if shipped is None:
+        raise FileNotFoundError(
+            f"--finetune: no shipped weights for {model_type}")
+    cfg, params = shipped
+    model = DACModel(cfg)
+    print(f"[dac-finetune:{model_type}] resuming from "
+          f"{PRETRAINED[model_type]}", flush=True)
+    ev = make_eval_snr(model, length=min(length, cfg.sample_rate))
+    ckpt = PRETRAINED[model_type].with_suffix(".ckpt.npz")
+    params = _run_phase(model, params, "ft", None, steps, batch, length, lr,
+                        jax.random.PRNGKey(seed), scan_size, log_every,
+                        use_ema=True, eval_fn=ev,
+                        ckpt_path=ckpt, ckpt_every=3000)
+    return model, params
+
+
 def save_pretrained(params, path: Path, cfg: DACConfig = None) -> None:
     """Weights + the geometry that trained them (self-describing npz:
     geometry changes to ``distilled_config`` can't silently misload an
@@ -490,13 +516,21 @@ if __name__ == "__main__":
     ap.add_argument("--scan", type=int, default=1,
                     help="optimizer steps per dispatch (use ~20 on TPU)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--finetune", action="store_true",
+                    help="continue the VQ phase from the shipped codec "
+                         "(pair with a lower --lr)")
     a = ap.parse_args()
     if a.cpu:
         jax.config.update("jax_platforms", "cpu")
     print("devices:", jax.devices(), flush=True)
-    model, params = train(steps=a.steps, batch=a.batch, length=a.length,
-                          lr=a.lr, seed=a.seed, scan_size=a.scan,
-                          ae_frac=a.ae_frac, model_type=a.model_type)
+    if a.finetune:
+        model, params = finetune(model_type=a.model_type, steps=a.steps,
+                                 batch=a.batch, length=a.length, lr=a.lr,
+                                 seed=a.seed, scan_size=a.scan)
+    else:
+        model, params = train(steps=a.steps, batch=a.batch, length=a.length,
+                              lr=a.lr, seed=a.seed, scan_size=a.scan,
+                              ae_frac=a.ae_frac, model_type=a.model_type)
     from ..flashsr.distill import synth_pair_batch
     sr = model.cfg.sample_rate
     _, hr = synth_pair_batch(jax.random.PRNGKey(99), 4, sr, sr=sr)
