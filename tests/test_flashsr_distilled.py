@@ -53,8 +53,9 @@ def test_distilled_weights_improve_lsd():
     rep_md = lsd_sisdr_report(hr[0], out[0])
     lsd_pt, lsd_md = float(rep_pt["lsd_mean_db"]), float(rep_md["lsd_mean_db"])
     sisdr_md = float(rep_md["si_sdr_db"])
-    # ABSOLUTE bars (VERDICT r2 #2): the round-3 distilled trio measures
-    # LSD ~9.5 dB / SI-SDR ~+8 dB vs fullband truth — gate at 12 dB /
+    # ABSOLUTE bars (VERDICT r2 #2): the shipped trio measures LSD
+    # 7.6 dB / SI-SDR +8.6 dB on THIS pair (LSD is content-dependent —
+    # other draws read 13-23 dB; see pretrained.json) — gate at 12 dB /
     # -2 dB so any "plausible-energy-in-the-high-band" regression fails
     assert lsd_md < 12.0, f"absolute LSD {lsd_md:.2f} dB >= 12 dB gate"
     assert lsd_md < lsd_pt - 20.0, (lsd_md, lsd_pt)
