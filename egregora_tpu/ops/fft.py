@@ -82,6 +82,36 @@ def balanced_factors(n: int, max_factor: int = 4096) -> Tuple[int, int] | None:
     return best
 
 
+@functools.lru_cache(maxsize=64)
+def alias_factors(n: int, f: int, max_factor: int = 4096
+                  ) -> Tuple[int, int] | None:
+    """Balanced ``n = n1 * n2`` with ``f | n2`` (both <= max_factor).
+
+    In the permuted layout ``[k1, k2]`` (bin ``k1 + n1*k2``), splitting
+    the k2 axis as ``[f, n2/f]`` puts the aliasing-block index
+    ``j = k // (n/f)`` on its own axis: bin ``k1 + n1*(j*(n2/f) + q)``
+    = ``(k1 + n1*q) + j*(n/f)``.  The subsample-by-f data-consistency
+    operator of the IST loop then becomes a mean over that axis, with
+    ``m = k1 + n1*q`` exactly the (n1, n2/f)-permuted layout of the
+    observation's (n/f)-point spectrum — no natural bin order needed
+    anywhere (ops/spectral.ist_upscale fold-domain path)."""
+    if f < 1 or n % f:
+        return None
+    i = int(math.isqrt(n))
+    while i >= 2:
+        if n % i == 0:
+            j = n // i
+            if j > max_factor:
+                return None        # j only grows as i shrinks
+            if i <= max_factor:
+                if j % f == 0:
+                    return (i, j)
+                if i % f == 0:
+                    return (j, i)  # swapped pair puts f on the n2 side
+        i -= 1
+    return None
+
+
 def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
@@ -144,7 +174,8 @@ def _contract_m2(xr, xi, cm, sm):
     return yr, yi
 
 
-def rfft_permuted(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[int, int]]:
+def rfft_permuted(x: jnp.ndarray, factors: Tuple[int, int] | None = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[int, int]]:
     """Real-input FFT returning the spectrum in a PERMUTED block layout.
 
     Measured on v5e: the standard-order matmul FFT spends ~85% of its
@@ -161,7 +192,8 @@ def rfft_permuted(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[int, 
     Use ONLY with ``irfft_permuted``.
     """
     n = x.shape[-1]
-    n1, n2 = balanced_factors(n) or _split_factor(n)
+    n1, n2 = factors or balanced_factors(n) or _split_factor(n)
+    assert n1 * n2 == n, (n1, n2, n)
     lead = x.shape[:-1]
     xv = x.reshape(lead + (n1, n2))
     c1, s1 = (jnp.asarray(m) for m in _dft_mats(n1))
@@ -184,13 +216,16 @@ def rfft_permuted(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[int, 
     return yr, yi, (n1, n2)
 
 
-def irfft_permuted(yr: jnp.ndarray, yi: jnp.ndarray, n: int) -> jnp.ndarray:
+def irfft_permuted(yr: jnp.ndarray, yi: jnp.ndarray, n: int,
+                   factors: Tuple[int, int] | None = None) -> jnp.ndarray:
     """Inverse of ``rfft_permuted`` -> real ``[..., n]``.
 
     Conjugate transforms applied in reverse order, real part only on
-    the final stage; same zero-shuffle property.
+    the final stage; same zero-shuffle property.  ``factors`` must
+    match the forward call's.
     """
-    n1, n2 = balanced_factors(n) or _split_factor(n)
+    n1, n2 = factors or balanced_factors(n) or _split_factor(n)
+    assert n1 * n2 == n, (n1, n2, n)
     lead = yr.shape[:-2]
     c2, s2 = (jnp.asarray(m) for m in _dft_mats(n2))
     # inverse over k2 (axis -2 is k1; k2 is last) — contract last axis:

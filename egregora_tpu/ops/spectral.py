@@ -48,7 +48,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from .fft import balanced_factors, irfft_permuted, rfft_permuted
+from .fft import alias_factors, balanced_factors, irfft_permuted, rfft_permuted
 from .resample import resample_poly
 
 
@@ -113,6 +113,41 @@ def ist_upscale(x_cs: jnp.ndarray, factor: int, max_iterations: int,
         tau2 = jnp.square(thr) * jnp.max(mag2, axis=axes, keepdims=True)
         keep = mag2 >= tau2
         return re * keep, im * keep
+
+    fa = (alias_factors(n_up, factor)
+          if use_matmul_fft and factor > 1 and n_fft == n_up else None)
+    if fa is not None:
+        # FOLD-DOMAIN loop: for a regular subsample-by-f operator A the
+        # data-consistency step is pure aliasing algebra in the DFT
+        # domain — (A z)^[m] = (1/f) sum_j Z[m + j*(N/f)] and zero-stuff
+        # U replicates the observation spectrum — so the WHOLE loop runs
+        # on the spectrum with NO per-iteration FFTs: two endpoint
+        # transforms + O(N) fold/gate per iteration (was 2 FFTs/iter).
+        # In the permuted layout with f | n2 the j blocks sit on their
+        # own axis (ops/fft.alias_factors) and the observation spectrum
+        # in (n1, n2/f)-permuted layout aligns bin-for-bin with m.
+        n1, n2 = fa
+        n2f = n2 // factor
+        zr, zi, _ = rfft_permuted(x0, factors=(n1, n2))       # [C, n1, n2]
+        zr = zr.reshape(c, n1, factor, n2f)
+        zi = zi.reshape(c, n1, factor, n2f)
+        yr, yi, _ = rfft_permuted(y_obs, factors=(n1, n2f))   # [C, n1, n2f]
+
+        def body(_, zs):
+            zr, zi = zs
+            # clamp_observed in the fold domain
+            zr = zr + (yr - jnp.mean(zr, axis=2))[:, :, None, :]
+            zi = zi + (yi - jnp.mean(zi, axis=2))[:, :, None, :]
+            mag2 = zr * zr + zi * zi
+            tau2 = jnp.square(thr) * jnp.max(mag2, axis=(1, 2, 3),
+                                             keepdims=True)
+            keep = mag2 >= tau2
+            return zr * keep, zi * keep
+
+        zr, zi = jax.lax.fori_loop(0, max_iterations, body, (zr, zi))
+        x = irfft_permuted(zr.reshape(c, n1, n2), zi.reshape(c, n1, n2),
+                           n_fft, factors=(n1, n2)).astype(jnp.float32)
+        return clamp_observed(x)[:, :n_up]
 
     if use_matmul_fft:
         # permuted-spectrum MXU transform: magnitude gating is

@@ -47,3 +47,32 @@ def test_ist_same_result_both_fft_paths(rng):
     a = np.asarray(ist_upscale(jnp.asarray(x), 2, 10, 0.3, use_matmul_fft=False))
     b = np.asarray(ist_upscale(jnp.asarray(x), 2, 10, 0.3, use_matmul_fft=True))
     np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_alias_factors_contract():
+    """n1*n2 == n, f | n2, both <= 4096 — the layout contract the
+    fold-domain IST path relies on (ops/fft.alias_factors)."""
+    from egregora_tpu.ops.fft import alias_factors
+    for n, f in ((2880000, 6), (2880000, 2), (8192, 2), (3000, 6), (2400, 4)):
+        n1, n2 = alias_factors(n, f)
+        assert n1 * n2 == n and n2 % f == 0
+        assert n1 <= 4096 and n2 <= 4096
+    assert alias_factors(2400, 7) is None       # 7 divides no valid pair
+    assert alias_factors(2401, 2) is None       # odd n, f=2
+
+
+def test_ist_fold_domain_matches_native_mixed_radix(rng):
+    """The fold-domain (no per-iteration FFT) IST path must match the
+    native-FFT time-domain loop on a mixed-radix length and factor 6
+    (the fat-llama bench shape family: aliasing fold + permuted-layout
+    observation spectrum)."""
+    from egregora_tpu.ops.fft import alias_factors, balanced_factors
+    from egregora_tpu.ops.spectral import ist_upscale
+    s, f = 500, 6                                # n_up = 3000 = 50 x 60
+    assert balanced_factors(s * f) and alias_factors(s * f, f)
+    t = np.arange(s) / 4000.0
+    x = (0.4 * np.sin(2 * np.pi * 440 * t) + 0.1 * np.sin(2 * np.pi * 870 * t)
+         ).astype(np.float32)[None]
+    a = np.asarray(ist_upscale(jnp.asarray(x), f, 12, 0.3, use_matmul_fft=False))
+    b = np.asarray(ist_upscale(jnp.asarray(x), f, 12, 0.3, use_matmul_fft=True))
+    np.testing.assert_allclose(a, b, atol=5e-4)
