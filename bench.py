@@ -99,7 +99,10 @@ def bench_fatllama(jnp) -> None:
     sr = 16000
     t = np.arange(sr * 30) / sr
     x = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[None]
-    iters = 400
+    # fold-domain IST (ops/spectral.py) runs ~4k iters/s on v5e — 4000
+    # iters keeps the measured interval ~1 s so the ~50-60 ms relay
+    # dispatch overhead stays in the noise instead of dominating
+    iters = 4000
     factor = upscale_factor(sr, 1, 1411)
     use_mm = jax.devices()[0].platform not in ("cpu",)
     y = spectral_enhance(jnp.asarray(x), factor, iters, 0.6, use_matmul_fft=use_mm)

@@ -188,36 +188,45 @@ _DS_MIN = PITCH_MIN // 2          # 30
 _XC_FFT = 2048                    # pow2 linear-correlation FFT length
 
 
-def _pitch_search(pitch_buf: jnp.ndarray, prev_period: jnp.ndarray,
-                  prev_gain: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(pitch_index @48k in [PITCH_MIN, PITCH_MAX], pitch gain in [0,1]).
+def _pitch_candidates(pitch_bufs: jnp.ndarray
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Frame-PARALLEL half of the pitch search: ``[F, PITCH_BUF]`` ->
+    ``(cand [F, 8] int32, gc [F, 8], g0 [F])``.
 
-    TPU-native redesign of opus pitch_search + remove_doubling: instead
-    of a staged coarse/fine search with data-dependent branches, compute
-    the NORMALIZED cross-correlation against the newest 480 downsampled
-    samples for EVERY lag at once (one pow2 FFT correlation + a cumsum
-    for the sliding energies), then reject period-doubling by accepting
-    the shortest sub-multiple whose correlation clears an opus-style
-    threshold, with a continuity bonus near the previous frame's period.
+    TPU-native redesign of opus pitch_search: instead of a staged
+    coarse/fine search with data-dependent branches, compute the
+    NORMALIZED cross-correlation against the newest 480 downsampled
+    samples for EVERY lag at once (one batched pow2 FFT correlation + a
+    cumsum for the sliding energies), then tabulate the sub-multiple
+    candidates ``T0/k`` and their correlations.  Everything here is
+    independent across frames, so it runs batched OUTSIDE the frame
+    scan (measured: the in-scan per-frame search was 125 ms of the
+    190 ms 30 s-clip engine; batched it is ~2 ms).  Only the doubling
+    rejection consumes the previous frame's period -> ``_pitch_select``
+    inside the scan.
     """
     # 2x decimation with a [1/4, 1/2, 1/4] smoother (pitch_downsample's
     # core; the adaptive FIR whitener is omitted — it sharpens peaks but
     # does not move them)
-    b = pitch_buf
+    b = pitch_bufs
     # ds[i] = .5 b[2i] + .25 (b[2i-1] + b[2i+1]); b[-1] ~ b[0]
-    ds = 0.5 * b[::2] + 0.25 * (jnp.concatenate([b[:1], b[1:-2:2]])
-                                + b[1::2])                      # [864]
+    ds = 0.5 * b[..., ::2] + 0.25 * (
+        jnp.concatenate([b[..., :1], b[..., 1:-2:2]], axis=-1)
+        + b[..., 1::2])                                          # [F, 864]
 
-    tgt = ds[-_DS_TGT:]                                          # newest 480
+    tgt = ds[..., -_DS_TGT:]                                     # newest 480
     # linear correlation c[i] = sum_j ds[i+j] * tgt[j], i in [0, 384]
-    fb = jnp.fft.rfft(ds, n=_XC_FFT)
-    ft = jnp.fft.rfft(tgt, n=_XC_FFT)
-    c = jnp.fft.irfft(fb * jnp.conj(ft), n=_XC_FFT)[: _DS_MAX + 1]
+    fb = jnp.fft.rfft(ds, n=_XC_FFT, axis=-1)
+    ft = jnp.fft.rfft(tgt, n=_XC_FFT, axis=-1)
+    c = jnp.fft.irfft(fb * jnp.conj(ft), n=_XC_FFT,
+                      axis=-1)[..., : _DS_MAX + 1]
 
-    e_tgt = jnp.sum(tgt * tgt)
-    cs = jnp.cumsum(jnp.concatenate([jnp.zeros(1), ds * ds]))
-    e_lag = cs[_DS_TGT: _DS_TGT + _DS_MAX + 1] - cs[: _DS_MAX + 1]
-    corr_all = c / jnp.sqrt(e_tgt * e_lag + 1e-4)                # [385]
+    e_tgt = jnp.sum(tgt * tgt, axis=-1, keepdims=True)
+    cs = jnp.cumsum(ds * ds, axis=-1)
+    cs = jnp.concatenate([jnp.zeros_like(cs[..., :1]), cs], axis=-1)
+    e_lag = (cs[..., _DS_TGT: _DS_TGT + _DS_MAX + 1]
+             - cs[..., : _DS_MAX + 1])
+    corr_all = c / jnp.sqrt(e_tgt * e_lag + 1e-4)                # [F, 385]
 
     # corr for lag tau (period) lives at index (864-480) - tau = 384-tau
     lag = jnp.arange(_DS_MAX + 1)
@@ -225,14 +234,25 @@ def _pitch_search(pitch_buf: jnp.ndarray, prev_period: jnp.ndarray,
     valid = (tau >= _DS_MIN) & (tau <= _DS_MAX)
     corr = jnp.where(valid, corr_all, -1.0)
 
-    i0 = jnp.argmax(corr)
+    i0 = jnp.argmax(corr, axis=-1)                               # [F]
     t0 = _DS_MAX - i0                                            # best period
-    g0 = corr[i0]
+    g0 = jnp.take_along_axis(corr, i0[..., None], axis=-1)[..., 0]
 
-    # doubling rejection: candidates T0/k, smallest accepted period wins
+    # doubling-rejection candidate table: T0/k for k = 1..8
     ks = jnp.arange(1, 9)
-    cand = jnp.clip(jnp.round(t0 / ks).astype(jnp.int32), _DS_MIN, _DS_MAX)
-    gc = corr[_DS_MAX - cand]
+    cand = jnp.clip(jnp.round(t0[..., None] / ks).astype(jnp.int32),
+                    _DS_MIN, _DS_MAX)                            # [F, 8]
+    gc = jnp.take_along_axis(corr, _DS_MAX - cand, axis=-1)      # [F, 8]
+    return cand, gc, g0
+
+
+def _pitch_select(cand: jnp.ndarray, gc: jnp.ndarray, g0: jnp.ndarray,
+                  prev_period: jnp.ndarray, prev_gain: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sequential half (remove_doubling): accept the shortest
+    sub-multiple whose correlation clears an opus-style threshold, with
+    a continuity bonus near the previous frame's period.  Per-frame
+    inputs come from ``_pitch_candidates``; O(8) arithmetic."""
     near_prev = jnp.abs(2.0 * cand - prev_period) < jnp.maximum(
         0.2 * prev_period, 10.0)
     thresh = 0.77 * g0 - 0.15 * prev_gain * near_prev
@@ -242,6 +262,16 @@ def _pitch_search(pitch_buf: jnp.ndarray, prev_period: jnp.ndarray,
     t = cand[best]
     gain = jnp.clip(gc[best], 0.0, 1.0)
     return (2 * t).astype(jnp.float32), gain
+
+
+def _pitch_search(pitch_buf: jnp.ndarray, prev_period: jnp.ndarray,
+                  prev_gain: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(pitch_index @48k in [PITCH_MIN, PITCH_MAX], pitch gain in [0,1])
+    for ONE frame — the single-frame composition of ``_pitch_candidates``
+    + ``_pitch_select`` (kept as the semantic reference; the engine
+    runs the two halves batched/scanned respectively)."""
+    cand, gc, g0 = _pitch_candidates(pitch_buf[None])
+    return _pitch_select(cand[0], gc[0], g0[0], prev_period, prev_gain)
 
 
 # ---------------------------------------------------------------------------
@@ -271,14 +301,17 @@ def denoise_channel_full(params: Dict, x: jnp.ndarray):
     training formulation); node callers use ``denoise_channel``.
 
     TPU structure: everything that does NOT depend on the frame
-    recurrence is hoisted out of the ``lax.scan`` and computed batched
+    recurrence is hoisted out of the ``lax.scan``s and computed batched
     over all frames — the analysis FFT, band energies, silence flags,
-    log-band/BFCC features, and the rolling pitch windows up front; the
-    synthesis iFFT + 50%-overlap-add afterwards (two dense tracks,
-    WINDOW == 2*FRAME).  The scan carries only the genuinely sequential
-    state (GRUs, cepstral history, gain floor, pitch continuity) and
-    runs ONE 960-point FFT per frame (the period-dependent pitch
-    spectrum) instead of three.
+    log-band/BFCC features, rolling pitch windows, the pitch xcorr
+    candidate search, the period-delayed pitch spectra, the comb
+    filter, and the synthesis iFFT + 50%-overlap-add (two dense
+    tracks, WINDOW == 2*FRAME).  What remains sequential is two tiny
+    scans: O(8) doubling rejection (previous-period continuity) and the
+    cepstral-history/GRU-chain/gain-floor recurrence — NO per-frame
+    FFTs at all.  Measured on v5e (30 s mono): 190 ms with the pitch
+    search + pitch FFT + comb in-scan, ~55 ms restructured, vs a 37 ms
+    pure-GRU-scan floor.
     """
     from ...ops.iir import biquad
     from ...ops.stft import frame_strided
@@ -311,19 +344,43 @@ def denoise_channel_full(params: Dict, x: jnp.ndarray):
         jnp.concatenate([jnp.zeros(PITCH_BUF - FRAME), xs]),
         PITCH_BUF, FRAME)[:n_frames]                           # [F, 1728]
 
-    def step(carry, inp):
-        (cep_mem, h_vad, h_noise, h_den, lastg,
-         prev_period, prev_gain) = carry
-        spec, ex, silence, bfcc, pitch_buf = inp
+    # ---- pitch, stage 1 (batched): xcorr candidates for ALL frames ----
+    cand_all, gc_all, g0_all = _pitch_candidates(pitch_bufs)
 
-        # ---- pitch (sequential: previous-period continuity) ----
-        period, pgain = _pitch_search(pitch_buf, prev_period, prev_gain)
-        start = (PITCH_BUF - WINDOW) - period.astype(jnp.int32)
-        p_wave = jax.lax.dynamic_slice(pitch_buf, (start,), (WINDOW,)) * win
-        p_spec = jnp.fft.rfft(p_wave) / WINDOW
-        ep = sqmag(p_spec) @ bm_e
-        exp_num = (spec.real * p_spec.real + spec.imag * p_spec.imag) @ bm_e
-        exp = exp_num / jnp.sqrt(1e-3 + ex * ep)       # [22] band pitch corr
+    # ---- pitch, stage 2: O(8)-arithmetic doubling-rejection scan (the
+    # only sequential part of the search: previous-period continuity) ----
+    def pstep(carry, inp):
+        prev_period, prev_gain = carry
+        cand, gc, g0, silence = inp
+        period, pgain = _pitch_select(cand, gc, g0, prev_period, prev_gain)
+        sel = lambda new, old: jnp.where(silence, old, new)
+        return ((sel(period, prev_period), sel(pgain, prev_gain)),
+                (period, pgain))
+
+    _, (periods, pgains) = jax.lax.scan(
+        pstep, (jnp.float32(300.0), jnp.float32(0.0)),
+        (cand_all, gc_all, g0_all, silence_all))
+
+    # ---- pitch spectra (batched): slice each frame's period-delayed
+    # window (vmapped dynamic_slice over the rolling buffers), then ONE
+    # batched 960-pt FFT for all frames (was one per scan step) ----
+    starts = (PITCH_BUF - WINDOW) - periods.astype(jnp.int32)
+    p_wave = jax.vmap(
+        lambda buf, s: jax.lax.dynamic_slice(buf, (s,), (WINDOW,)))(
+        pitch_bufs, starts) * win
+    p_spec_all = jnp.fft.rfft(p_wave, axis=-1) / WINDOW          # [F, 481]
+    ep_all = sqmag(p_spec_all) @ bm_e                            # [F, 22]
+    exp_num = (spec_all.real * p_spec_all.real
+               + spec_all.imag * p_spec_all.imag) @ bm_e
+    exp_all = exp_num / jnp.sqrt(1e-3 + ex_all * ep_all)  # band pitch corr
+    pitch_cep_all = (exp_all @ dct)[:, :NB_DELTA]
+    pitch_cep_all = pitch_cep_all.at[:, 0].add(-1.3).at[:, 1].add(-0.9)
+
+    # ---- scan over ONLY the genuinely sequential state: cepstral
+    # history, GRU chain, gain floor ----
+    def step(carry, inp):
+        cep_mem, h_vad, h_noise, h_den, lastg = carry
+        bfcc, pitch_cep, period, silence = inp
 
         # ---- features (denoise.c layout) ----
         ceps_1, ceps_2 = cep_mem[0], cep_mem[1]
@@ -331,8 +388,6 @@ def denoise_channel_full(params: Dict, x: jnp.ndarray):
             bfcc[:NB_DELTA] + ceps_1[:NB_DELTA] + ceps_2[:NB_DELTA])
         d1 = (bfcc - ceps_2)[:NB_DELTA]
         d2 = (bfcc - 2 * ceps_1 + ceps_2)[:NB_DELTA]
-        pitch_cep = (exp @ dct)[:NB_DELTA]
-        pitch_cep = pitch_cep.at[0].add(-1.3).at[1].add(-0.9)
         new_mem = jnp.concatenate([bfcc[None], cep_mem[:-1]], axis=0)
         # spectral variability over the (updated) 8-frame history
         dists = jnp.sum((new_mem[:, None, :] - new_mem[None, :, :]) ** 2, axis=-1)
@@ -361,42 +416,41 @@ def denoise_channel_full(params: Dict, x: jnp.ndarray):
         gains = jax.nn.sigmoid(h_den_n @ params["denoise_output"]["kernel"]
                                + params["denoise_output"]["bias"])  # [22]
 
-        # ---- pitch comb filter (denoise.c pitch_filter) ----
-        # epsilons INSIDE the sqrts: sqrt'(0)=inf otherwise poisons the
-        # distillation gradients (inf * where-mask-0 = NaN)
-        g2 = gains * gains
-        exp2 = exp * exp
-        r = jnp.where(exp > gains, 1.0,
-                      exp2 * (1.0 - g2) / (1e-3 + g2 * (1.0 - exp2)))
-        r = jnp.sqrt(jnp.clip(r, 0.0, 1.0) + 1e-9) * jnp.sqrt(
-            (ex + 1e-9) / (1e-8 + ep))
-        rf = bm_i @ r
-        spec_f = spec + rf * p_spec
-        new_e = sqmag(spec_f) @ bm_e
-        norm = jnp.sqrt((ex + 1e-9) / (1e-8 + new_e))
-        spec_f = spec_f * (bm_i @ norm)
-
-        # ---- gains (with 0.6 floor memory) ----
+        # gain floor memory (0.6·last), frozen on silence like the rest
         gains_s = jnp.maximum(gains, 0.6 * lastg)
-        spec_out = spec_f * (bm_i @ gains_s)
-        # silence: pass the frame through untouched, freeze the state
-        spec_out = jnp.where(silence, spec, spec_out)
-
         sel = lambda new, old: jnp.where(silence, old, new)
         carry = (sel(new_mem, cep_mem),
                  sel(h_vad_n, h_vad), sel(h_noise_n, h_noise),
-                 sel(h_den_n, h_den), sel(gains_s, lastg),
-                 sel(period, prev_period), sel(pgain, prev_gain))
-        return carry, (spec_out, jnp.where(silence, 0.0, vad), gains)
+                 sel(h_den_n, h_den), sel(gains_s, lastg))
+        return carry, (vad, gains, gains_s)
 
     carry0 = (
         jnp.zeros((CEPS_MEM, NB_BANDS)),
         jnp.zeros(cfg.vad_gru), jnp.zeros(cfg.noise_gru),
         jnp.zeros(cfg.denoise_gru), jnp.zeros(NB_BANDS),
-        jnp.float32(300.0), jnp.float32(0.0),
     )
-    _, (spec_outs, vads, gains) = jax.lax.scan(
-        step, carry0, (spec_all, ex_all, silence_all, bfcc_all, pitch_bufs))
+    _, (vads, gains, gains_s_all) = jax.lax.scan(
+        step, carry0, (bfcc_all, pitch_cep_all, periods, silence_all))
+
+    # ---- pitch comb filter + band gains (denoise.c pitch_filter),
+    # batched over all frames: pure elementwise/[F,481]x[481,22] matmul
+    # algebra once the scan has produced the per-frame gains ----
+    # epsilons INSIDE the sqrts: sqrt'(0)=inf otherwise poisons the
+    # distillation gradients (inf * where-mask-0 = NaN)
+    g2 = gains * gains
+    exp2 = exp_all * exp_all
+    r = jnp.where(exp_all > gains, 1.0,
+                  exp2 * (1.0 - g2) / (1e-3 + g2 * (1.0 - exp2)))
+    r = jnp.sqrt(jnp.clip(r, 0.0, 1.0) + 1e-9) * jnp.sqrt(
+        (ex_all + 1e-9) / (1e-8 + ep_all))
+    spec_f = spec_all + (r @ bm_i.T) * p_spec_all
+    new_e = sqmag(spec_f) @ bm_e
+    norm = jnp.sqrt((ex_all + 1e-9) / (1e-8 + new_e))
+    spec_f = spec_f * (norm @ bm_i.T)
+    spec_outs = spec_f * (gains_s_all @ bm_i.T)
+    # silence: pass the frame through untouched
+    spec_outs = jnp.where(silence_all[:, None], spec_all, spec_outs)
+    vads = jnp.where(silence_all, 0.0, vads)
 
     # ---- batched synthesis + 50% OLA (was per-step irfft + carry) ----
     yfr = jnp.fft.irfft(spec_outs * WINDOW, n=WINDOW, axis=-1) * win  # [F,960]
