@@ -60,12 +60,15 @@ class FiLMResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb):
-        h = nn.GroupNorm(num_groups=min(self.groups, x.shape[-1]), dtype=jnp.float32)(x)
+        h = nn.GroupNorm(num_groups=min(self.groups, x.shape[-1]), dtype=self.dtype)(x)
         h = nn.silu(h)
         h = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(h)
         scale_shift = nn.Dense(2 * self.channels, dtype=jnp.float32)(nn.silu(temb))
-        scale, shift = jnp.split(scale_shift[:, None, None, :], 2, axis=-1)
-        h = nn.GroupNorm(num_groups=min(self.groups, self.channels), dtype=jnp.float32)(h)
+        # cast the (tiny) FiLM params to the block dtype so the scaled
+        # full-resolution tensor is not promoted back to f32
+        scale, shift = jnp.split(
+            scale_shift[:, None, None, :].astype(self.dtype), 2, axis=-1)
+        h = nn.GroupNorm(num_groups=min(self.groups, self.channels), dtype=self.dtype)(h)
         h = h * (1.0 + scale) + shift
         h = nn.silu(h)
         h = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(h)
@@ -81,7 +84,7 @@ class SelfAttention2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, f, m, c = x.shape
-        h = nn.GroupNorm(num_groups=min(32, c), dtype=jnp.float32)(x)
+        h = nn.GroupNorm(num_groups=min(32, c), dtype=self.dtype)(x)
         h = h.reshape(b, f * m, c)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, dtype=self.dtype,
@@ -130,6 +133,6 @@ class StudentUNet(nn.Module):
                 b, f, m, cc = h.shape
                 h = jax.image.resize(h, (b, f * 2, m * 2, cc), method="nearest")
                 h = nn.Conv(cc, (3, 3), dtype=c.dtype)(h)
-        h = nn.GroupNorm(num_groups=c.groups, dtype=jnp.float32)(h)
+        h = nn.GroupNorm(num_groups=c.groups, dtype=c.dtype)(h)
         h = nn.silu(h)
         return nn.Conv(c.out_channels, (3, 3), dtype=c.dtype)(h).astype(jnp.float32)

@@ -50,10 +50,10 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.GroupNorm(num_groups=min(self.groups, x.shape[-1]), dtype=jnp.float32)(x)
+        h = nn.GroupNorm(num_groups=min(self.groups, x.shape[-1]), dtype=self.dtype)(x)
         h = nn.silu(h)
         h = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(h)
-        h = nn.GroupNorm(num_groups=min(self.groups, self.channels), dtype=jnp.float32)(h)
+        h = nn.GroupNorm(num_groups=min(self.groups, self.channels), dtype=self.dtype)(h)
         h = nn.silu(h)
         h = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(h)
         if x.shape[-1] != self.channels:
@@ -95,7 +95,7 @@ class AttnBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, f, m, c = x.shape
-        h = nn.GroupNorm(num_groups=min(self.groups, c), dtype=jnp.float32)(x)
+        h = nn.GroupNorm(num_groups=min(self.groups, c), dtype=self.dtype)(x)
         h = h.astype(self.dtype)
         q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(h)
         k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(h)
@@ -125,7 +125,7 @@ class Encoder(nn.Module):
             h = ResBlock(ch, c.groups, c.dtype)(h)
             h = AttnBlock2D(c.groups, c.dtype)(h)
             h = ResBlock(ch, c.groups, c.dtype)(h)
-        h = nn.GroupNorm(num_groups=c.groups, dtype=jnp.float32)(h)
+        h = nn.GroupNorm(num_groups=c.groups, dtype=c.dtype)(h)
         h = nn.silu(h)
         return nn.Conv(2 * c.latent_channels, (3, 3), dtype=c.dtype)(h)
 
@@ -152,7 +152,7 @@ class Decoder(nn.Module):
                 b, f, m, cc = h.shape
                 h = jax.image.resize(h, (b, f * 2, m * 2, cc), method="nearest")
                 h = nn.Conv(ch, (3, 3), dtype=c.dtype)(h)
-        h = nn.GroupNorm(num_groups=c.groups, dtype=jnp.float32)(h)
+        h = nn.GroupNorm(num_groups=c.groups, dtype=c.dtype)(h)
         h = nn.silu(h)
         return nn.Conv(1, (3, 3), dtype=c.dtype)(h).astype(jnp.float32)
 
