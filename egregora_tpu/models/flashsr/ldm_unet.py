@@ -67,13 +67,15 @@ class LDMResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb):
         h = nn.GroupNorm(num_groups=min(self.groups, x.shape[-1]),
-                         dtype=jnp.float32, name="in_layers_0")(x)
+                         dtype=self.dtype, name="in_layers_0")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_ch, (3, 3), dtype=self.dtype, name="in_layers_2")(h)
         e = nn.Dense(self.out_ch, dtype=jnp.float32, name="emb_layers_1")(nn.silu(emb))
-        h = h + e[:, None, None, :]
+        # cast the (tiny) time-embedding bias to the block dtype so the
+        # full-resolution tensor is not promoted back to f32
+        h = h + e[:, None, None, :].astype(self.dtype)
         h = nn.GroupNorm(num_groups=min(self.groups, self.out_ch),
-                         dtype=jnp.float32, name="out_layers_0")(h)
+                         dtype=self.dtype, name="out_layers_0")(h)
         h = nn.silu(h)
         h = _zeros_conv(self.out_ch, "out_layers_3", self.dtype)(h)
         if x.shape[-1] != self.out_ch:
@@ -93,7 +95,7 @@ class LDMAttentionBlock(nn.Module):
     def __call__(self, x):
         b, f, m, c = x.shape
         hd = c // self.num_heads
-        h = nn.GroupNorm(num_groups=min(self.groups, c), dtype=jnp.float32,
+        h = nn.GroupNorm(num_groups=min(self.groups, c), dtype=self.dtype,
                          name="norm")(x)
         qkv = nn.Dense(3 * c, dtype=self.dtype, name="qkv")(
             h.reshape(b, f * m, c).astype(self.dtype))
@@ -174,7 +176,7 @@ class LDMUNet(nn.Module):
                 idx += 1
 
         h = nn.GroupNorm(num_groups=min(c.groups, h.shape[-1]),
-                         dtype=jnp.float32, name="out_0")(h)
+                         dtype=c.dtype, name="out_0")(h)
         h = nn.silu(h)
         return _zeros_conv(c.out_channels, "out_2", c.dtype)(h).astype(jnp.float32)
 

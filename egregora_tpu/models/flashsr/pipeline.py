@@ -93,6 +93,18 @@ class FlashSRModules:
         return fast_init_like(shapes, seed)
 
 
+def _fused_vocoder_enabled() -> bool:
+    """Use the Pallas channel-major fused-MRF vocoder path on
+    accelerator backends (ops/mrf_pallas.py).  CPU keeps the flax
+    module path — same weights, same semantics (test-pinned), and the
+    multi-device CPU tests / dryrun exercise the sharded batch there.
+    ``EGREGORA_NO_FUSED_VOCODER=1`` forces the module path anywhere."""
+    import os
+    if os.environ.get("EGREGORA_NO_FUSED_VOCODER"):
+        return False
+    return jax.devices()[0].platform not in ("cpu",)
+
+
 def lowpass_fir(x: jnp.ndarray, sr: int, cutoff_hz: float, taps: int = 255) -> jnp.ndarray:
     """Linear-phase windowed-sinc lowpass along the last axis.
 
@@ -153,7 +165,11 @@ class FlashSRPipeline:
         z_hr = self.modules.unet.apply(params["student_ldm"], z_in, t)
         mel_hr = self.modules.vae.apply(params["vae"], z_hr,
                                         method=MelVAE.decode)[..., 0]
-        wav = self.modules.vocoder.apply(params["sr_vocoder"], mel_hr)
+        if _fused_vocoder_enabled():
+            from .vocoder import apply_fused
+            wav = apply_fused(params["sr_vocoder"], mel_hr, cfg.vocoder)
+        else:
+            wav = self.modules.vocoder.apply(params["sr_vocoder"], mel_hr)
         wav = wav[:, :CHUNK_SAMPLES]
         # re-impose the observed low band (see module docstring)
         return _crossover_merge(x, wav, REQ_SR, cfg.crossover_hz).astype(jnp.float32)

@@ -86,6 +86,46 @@ class SRVocoder(nn.Module):
         return jnp.tanh(h.astype(jnp.float32))[..., 0]
 
 
+def apply_fused(variables: dict, mel: jnp.ndarray,
+                cfg: VocoderConfig = VocoderConfig(), *,
+                interpret: bool = False) -> jnp.ndarray:
+    """Inference-path vocoder forward: identical param tree and
+    semantics to ``SRVocoder.apply`` (bf16 tolerance; test-pinned), but
+    each stage's MRF runs as the fused channel-major Pallas kernel
+    (ops/mrf_pallas.py) instead of 18 padded-NWC XLA convs — the NWC
+    lane padding at C=16..64 made the vocoder move ~6-8x its logical
+    bytes and dominate the fused pipeline's device time.
+
+    Pre/post convs and the strided ConvTransposes stay as the flax
+    modules (bit-identical weights application); activations transpose
+    to ``[B, C, T]`` around each MRF.
+    """
+    import flax.linen as nn_
+
+    from ...ops.mrf_pallas import mrf_fused_cm, pack_resblock_weights
+
+    p = variables["params"]
+    c = cfg
+    h = nn_.Conv(c.upsample_initial, (7,), dtype=c.dtype).apply(
+        {"params": p["Conv_0"]}, mel)
+    ch = c.upsample_initial
+    for i, (f, k) in enumerate(zip(c.upsample_factors, c.upsample_kernels)):
+        ch = max(ch // 2, c.channel_floor)
+        h = nn_.leaky_relu(h, 0.1)
+        h = nn_.ConvTranspose(ch, (k,), strides=(f,), dtype=c.dtype).apply(
+            {"params": p[f"ConvTranspose_{i}"]}, h)
+        w = pack_resblock_weights(p[f"MRF_{i}"], c.resblock_kernels,
+                                  c.resblock_dilations[0], dtype=c.dtype)
+        h_cm = jnp.swapaxes(h.astype(c.dtype), -1, -2)      # [B, C, T]
+        h_cm = mrf_fused_cm(h_cm, w, kernels=c.resblock_kernels,
+                            dilations=c.resblock_dilations[0],
+                            interpret=interpret)
+        h = jnp.swapaxes(h_cm, -1, -2)
+    h = nn_.leaky_relu(h, 0.1)
+    h = nn_.Conv(1, (7,), dtype=c.dtype).apply({"params": p["Conv_1"]}, h)
+    return jnp.tanh(h.astype(jnp.float32))[..., 0]
+
+
 def hifigan_name_map(cfg: VocoderConfig = VocoderConfig()):
     """Upstream HiFi-GAN generator (jik876 layout, the lineage FlashSR's
     ``sr_vocoder.pth`` descends from) -> SRVocoder tree paths.

@@ -1,0 +1,66 @@
+"""The Pallas fused channel-major MRF kernel (ops/mrf_pallas.py) must
+match the flax module vocoder path it replaces on TPU backends
+(models/flashsr/vocoder.py) — layout, halos, residual alignment,
+branch mean, and the full apply_fused composition."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egregora_tpu.models.flashsr.vocoder import (SRVocoder, VocoderConfig,
+                                                 apply_fused)
+from egregora_tpu.ops.mrf_pallas import (branch_halo, mrf_fused_cm,
+                                         pack_resblock_weights)
+
+
+def _cfg(dtype):
+    return VocoderConfig(n_mels=8, upsample_initial=32,
+                         upsample_factors=(2, 2, 3), upsample_kernels=(4, 4, 6),
+                         channel_floor=8, dtype=dtype)
+
+
+@pytest.mark.parametrize("dtype,atol", [(jnp.float32, 2e-4), (jnp.bfloat16, 3e-2)])
+def test_apply_fused_matches_module(dtype, atol):
+    cfg = _cfg(dtype)
+    voc = SRVocoder(cfg)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((2, 32, 8)).astype(np.float32))
+    params = voc.init(jax.random.PRNGKey(1), mel)
+    ref = voc.apply(params, mel)
+    got = apply_fused(params, mel, cfg, interpret=True)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=atol)
+
+
+def test_tiling_invariance_and_halo():
+    """Multi-tile output must equal single-tile output exactly — pins
+    the overlap-framing halo bookkeeping."""
+    c, t = 8, 384
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, c, t)).astype(np.float32))
+    kernels, dils = (3, 7, 11), (1, 3, 5)
+    weights = []
+    for k in kernels:
+        for _ in dils:
+            w1 = rng.standard_normal((k * c, c)).astype(np.float32) * 0.2
+            w2 = rng.standard_normal((k * c, c)).astype(np.float32) * 0.2
+            b1 = rng.standard_normal((c, 1)).astype(np.float32) * 0.1
+            b2 = rng.standard_normal((c, 1)).astype(np.float32) * 0.1
+            weights.append(tuple(jnp.asarray(a) for a in (w1, b1, w2, b2)))
+    one = mrf_fused_cm(x, weights, kernels, dils, block_t=512, interpret=True)
+    tiled = mrf_fused_cm(x, weights, kernels, dils, block_t=96, interpret=True)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(one),
+                               rtol=1e-5, atol=1e-5)
+    assert branch_halo(11, dils) == 60
+    assert branch_halo(3, dils) == 12
+
+
+def test_pipeline_env_gate(monkeypatch):
+    """EGREGORA_NO_FUSED_VOCODER forces the flax path; on CPU the fused
+    path is off by default (pipeline._fused_vocoder_enabled)."""
+    from egregora_tpu.models.flashsr import pipeline as P
+    assert P._fused_vocoder_enabled() in (False,)  # CPU test env
+    monkeypatch.setenv("EGREGORA_NO_FUSED_VOCODER", "1")
+    assert P._fused_vocoder_enabled() is False
