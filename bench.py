@@ -255,6 +255,33 @@ def bench_rnnoise(jnp, secs: int = 60) -> None:
     _emit("rnnoise_rtf_48k", best, "x_realtime_per_chip", 0.0)
 
 
+def bench_dfn(jnp, secs: int = 60) -> None:
+    """DeepFilterNet2 engine RTF on the accelerator: mono 60 s @48 kHz
+    through the jitted enhance path (conv enc/dec batched over frames,
+    GRU x-projections hoisted out of the scans — models/deepfilternet).
+    The reference runs the torch DeepFilterNet on CPU/CUDA; this line
+    records the TPU engine."""
+    import jax
+
+    from egregora_tpu.models.deepfilternet.model import DFNConfig, enhance
+    from egregora_tpu.nodes.enhance_extras import Egregora_DeepFilterNet_Denoise
+
+    params = Egregora_DeepFilterNet_Denoise._params("DeepFilterNet2")
+    sr = 48000
+    rng = np.random.default_rng(9)
+    x = jnp.asarray((rng.standard_normal((1, sr * secs)) * 0.1)
+                    .astype(np.float32))
+    cfg = DFNConfig.for_variant("DeepFilterNet2")
+    run = jax.jit(lambda p, x: enhance(p, x, cfg))
+    _sync(run(params, x))                   # compile
+    best = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        _sync(run(params, x))
+        best = max(best, secs / (time.time() - t0))
+    _emit("dfn2_rtf_48k", best, "x_realtime_per_chip", 0.0)
+
+
 def bench_fullchain(pipe, jnp, secs: int = 30) -> None:
     """Config #5 (the last BASELINE config without a machine-readable
     number): denoise -> FlashSR -> Fat Llama light pass -> 96 kHz
@@ -373,6 +400,7 @@ def main() -> None:
                      (bench_evalpack, (jnp,)),
                      (bench_nullsuite, (jnp,)),
                      (bench_rnnoise, (jnp,)),
+                     (bench_dfn, (jnp,)),
                      (bench_fullchain, (pipe, jnp)),
                      (bench_link, (jnp,)),
                      (bench_node_path, (pipe, jnp))):

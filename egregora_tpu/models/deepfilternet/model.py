@@ -193,6 +193,27 @@ def _gru_step(p, h, x):
     return z * h + (1 - z) * n
 
 
+def _gru_scan(p, xs):
+    """``[T, I] -> [T, U]`` GRU over time with the input projection
+    HOISTED out of the scan: ``xs @ kernel`` is one big batched matmul
+    over all frames (MXU-friendly), and the serial body keeps only the
+    genuinely recurrent half (``h @ recurrent`` + gates) — the same
+    restructuring as the RNNoise engine's pitch/comb hoists."""
+    xw_all = xs @ p["kernel"] + p["bias"]              # [T, 3U]
+
+    def step(h, xw):
+        hw = h @ p["recurrent"]
+        xz, xr, xn = jnp.split(xw, 3, -1)
+        hz, hr, hn = jnp.split(hw, 3, -1)
+        z = jax.nn.sigmoid(xz + hz)
+        r = jax.nn.sigmoid(xr + hr)
+        n = jnp.tanh(xn + r * hn)
+        h = z * h + (1 - z) * n
+        return h, h
+
+    return jax.lax.scan(step, jnp.zeros((p["recurrent"].shape[0],)), xw_all)[1]
+
+
 def _conv(p, x, stride_f: int = 1):
     """Causal-in-time 2D conv: ``[T, F, Cin] -> [T, F/stride_f, Cout]``.
 
@@ -237,8 +258,11 @@ def _grouped_gru(groups: Dict, x):
     rec = jnp.stack([groups[i]["recurrent"] for i in order])
     bias = jnp.stack([groups[i]["bias"] for i in order])
 
-    def step(h, xt):
-        xw = jnp.einsum("gi,gio->go", xt, kern) + bias
+    # input projections for ALL frames as one batched einsum (hoisted
+    # out of the scan); the serial body keeps only the recurrent half
+    xw_all = jnp.einsum("tgi,gio->tgo", xg, kern) + bias
+
+    def step(h, xw):
         hw = jnp.einsum("gi,gio->go", h, rec)
         xz, xr, xn = jnp.split(xw, 3, -1)
         hz, hr, hn = jnp.split(hw, 3, -1)
@@ -248,7 +272,7 @@ def _grouped_gru(groups: Dict, x):
         h = z * h + (1 - z) * n
         return h, h
 
-    _, hs = jax.lax.scan(step, jnp.zeros((g, d // g)), xg)
+    _, hs = jax.lax.scan(step, jnp.zeros((g, d // g)), xw_all)
     return hs.reshape(t, d)
 
 
@@ -266,13 +290,7 @@ def _squeezed_gru(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
     linear (ReLU activations after each projection, per upstream
     ``SqueezedGRU_S(linear_act_layer=nn.ReLU)``)."""
     h = jax.nn.relu(_grouped_lin(p["lin_in"], x))
-    units = p["gru"]["recurrent"].shape[0]
-
-    def step(carry, xt):
-        nxt = _gru_step(p["gru"], carry, xt)
-        return nxt, nxt
-
-    _, hs = jax.lax.scan(step, jnp.zeros((units,)), h)
+    hs = _gru_scan(p["gru"], h)
     return jax.nn.relu(_grouped_lin(p["lin_out"], hs))
 
 
@@ -366,12 +384,7 @@ def enhance_mono_full(params: Dict, x: jnp.ndarray, post_filter: bool = False):
     # ---- deep-filter decoder ----
     dfd = params["df_dec"]
 
-    def _df_step(h, e):
-        h2 = _gru_step(dfd["gru"], h, e)
-        return h2, h2
-
-    hdf = jax.lax.scan(_df_step, jnp.zeros(dfd["gru"]["recurrent"].shape[0]),
-                       hs)[1]
+    hdf = _gru_scan(dfd["gru"], hs)
     coefs = _lin(dfd["out"], hdf).reshape(n_frames, NB_DF, DF_ORDER, 2) * 0.1
     cplx = coefs[..., 0] + 1j * coefs[..., 1]                         # [T,96,5]
     stacked = _shift_stack(spec[:, :NB_DF], DF_ORDER)                 # [T,96,5]

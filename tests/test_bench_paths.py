@@ -35,6 +35,13 @@ def test_bench_fullchain_runs(tiny_pipe, capsys):
     assert '"fullchain_rtf_96k"' in out, out
 
 
+def test_bench_dfn_runs(capsys):
+    import bench
+    bench.bench_dfn(jnp, secs=2)
+    out = capsys.readouterr().out
+    assert '"dfn2_rtf_48k"' in out, out
+
+
 def test_bench_rnnoise_runs(capsys):
     import bench
     bench.bench_rnnoise(jnp, secs=5)
