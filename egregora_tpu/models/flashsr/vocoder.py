@@ -114,13 +114,23 @@ def apply_fused(variables: dict, mel: jnp.ndarray,
         h = nn_.leaky_relu(h, 0.1)
         h = nn_.ConvTranspose(ch, (k,), strides=(f,), dtype=c.dtype).apply(
             {"params": p[f"ConvTranspose_{i}"]}, h)
-        w = pack_resblock_weights(p[f"MRF_{i}"], c.resblock_kernels,
-                                  c.resblock_dilations[0], dtype=c.dtype)
-        h_cm = jnp.swapaxes(h.astype(c.dtype), -1, -2)      # [B, C, T]
-        h_cm = mrf_fused_cm(h_cm, w, kernels=c.resblock_kernels,
-                            dilations=c.resblock_dilations[0],
-                            interpret=interpret)
-        h = jnp.swapaxes(h_cm, -1, -2)
+        if ch <= 64:
+            # fuse the small-channel stages — where NWC lane padding
+            # multiplies traffic AND where the samples-per-second are
+            # highest.  Wide early stages (C >= 128) keep the XLA
+            # convs: they are MXU-efficient already, and the fully
+            # unrolled Mosaic kernel at C=256 compiles pathologically
+            # (>30 min observed through the relay).
+            w = pack_resblock_weights(p[f"MRF_{i}"], c.resblock_kernels,
+                                      c.resblock_dilations[0], dtype=c.dtype)
+            h_cm = jnp.swapaxes(h.astype(c.dtype), -1, -2)  # [B, C, T]
+            h_cm = mrf_fused_cm(h_cm, w, kernels=c.resblock_kernels,
+                                dilations=c.resblock_dilations[0],
+                                interpret=interpret)
+            h = jnp.swapaxes(h_cm, -1, -2)
+        else:
+            h = MRF(ch, c.resblock_kernels, c.resblock_dilations,
+                    c.dtype).apply({"params": p[f"MRF_{i}"]}, h)
     h = nn_.leaky_relu(h, 0.1)
     h = nn_.Conv(1, (7,), dtype=c.dtype).apply({"params": p["Conv_1"]}, h)
     return jnp.tanh(h.astype(jnp.float32))[..., 0]

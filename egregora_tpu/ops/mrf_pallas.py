@@ -81,12 +81,24 @@ def _conv_circ(a, w_cat, bias, k: int, d: int):
     lane offset 0, so the kernel keeps ALL tensors at the fixed tile
     width and tracks the valid (non-wrapped) coordinate window in the
     caller — the wrapped columns never reach the sliced output."""
-    l = a.shape[1]
-    cat = jnp.concatenate(
-        [_roll_lanes(a, l - j * d) if j else a for j in range(k)],
-        axis=0)                                           # [k*C, L]
-    y = jax.lax.dot_general(w_cat, cat, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    c, l = a.shape
+    if c >= 128:
+        # wide channels fill the MXU per tap on their own, and the
+        # [k*C, L] concat would not fit VMEM (C=256, k=11 -> 12 MB);
+        # accumulate k per-tap dots in f32 instead
+        y = None
+        for j in range(k):
+            aj = _roll_lanes(a, l - j * d) if j else a
+            yj = jax.lax.dot_general(
+                w_cat[j * c:(j + 1) * c, :], aj, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y = yj if y is None else y + yj
+    else:
+        cat = jnp.concatenate(
+            [_roll_lanes(a, l - j * d) if j else a for j in range(k)],
+            axis=0)                                       # [k*C, L]
+        y = jax.lax.dot_general(w_cat, cat, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
     # cast before bias add, matching flax Conv (conv output is cast to
     # the module dtype, then the bf16 bias is added); bias is [C, 1]
     return y.astype(a.dtype) + bias.astype(a.dtype)

@@ -24,6 +24,20 @@ def _cfg(dtype):
 @pytest.mark.parametrize("dtype,atol", [(jnp.float32, 2e-4), (jnp.bfloat16, 3e-2)])
 def test_apply_fused_matches_module(dtype, atol):
     cfg = _cfg(dtype)
+    _check_fused(cfg, dtype, atol)
+
+
+def test_apply_fused_mixed_wide_stage():
+    """Stages over the C<=64 threshold run the flax MRF module inside
+    apply_fused (the C=256 full-geometry stage compiles pathologically
+    as one unrolled kernel); the composition must still match."""
+    cfg = VocoderConfig(n_mels=8, upsample_initial=160,
+                        upsample_factors=(2, 2), upsample_kernels=(4, 4),
+                        channel_floor=8, dtype=jnp.float32)
+    _check_fused(cfg, jnp.float32, 2e-4)
+
+
+def _check_fused(cfg, dtype, atol):
     voc = SRVocoder(cfg)
     rng = np.random.default_rng(0)
     mel = jnp.asarray(rng.standard_normal((2, 32, 8)).astype(np.float32))
