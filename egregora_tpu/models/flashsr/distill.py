@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .mel import log_mel
 from .pipeline import FlashSRConfig
 from .unet import UNetConfig
 from .vae import VAEConfig
@@ -131,6 +132,154 @@ def synth_pair_batch(key: jax.Array, batch: int, length: int,
     """``[B, length]`` (lr, hr) pairs; vmapped device-side generator."""
     keys = jax.random.split(key, batch)
     return jax.vmap(lambda k: _synth_one(k, length, sr))(keys)
+
+
+# ---------------------------------------------------------------------------
+# vocoder-only training (complex-spectrum head swap)
+# ---------------------------------------------------------------------------
+
+PRETRAINED_ISTFT = Path(__file__).parent / "pretrained_istft.npz"
+
+
+def _vocoder_loss(modules, frozen, voc_params, lr_wave, hr_wave, rng):
+    """Loss for training the SpectralVocoder against a FROZEN shipped
+    VAE/UNet (the round-3 post-mortem localized the pipeline LSD floor
+    in the mel->waveform stage; the latent path contributes ~zero).
+
+    Two input distributions, as in the full loss_fn: the clean HR mel
+    (stable target) and the stop-gradient decoded-prediction mel (what
+    the vocoder actually sees at inference).  MR-STFT + mel L2 carry
+    the magnitude (the LSD metric); a small waveform L2 anchors the
+    absolute phase that magnitude losses leave free (post-OLA
+    magnitudes already force inter-frame phase coherence)."""
+    hop, n_mels, n_fft = 480, 256, 2048
+    from .train import _mrstft
+    frames = lr_wave.shape[-1] // hop
+    mel_lr = log_mel(lr_wave, n_fft=n_fft, hop=hop, n_mels=n_mels)[:, :frames]
+    mel_hr = log_mel(hr_wave, n_fft=n_fft, hop=hop, n_mels=n_mels)[:, :frames]
+
+    from .vae import MelVAE
+    z_lr = modules.vae.apply(frozen["vae"], mel_lr[..., None],
+                             method=MelVAE.encode)
+    noise = jax.random.normal(rng, z_lr.shape, jnp.float32)
+    z_in = jnp.concatenate([noise, z_lr], axis=-1)
+    t = jnp.ones((z_in.shape[0],), jnp.float32)
+    z = modules.unet.apply(frozen["student_ldm"], z_in, t)
+    mel_dec = jax.lax.stop_gradient(
+        modules.vae.apply(frozen["vae"], z, method=MelVAE.decode)[..., 0])
+
+    n = hr_wave.shape[-1]
+    wav1 = modules.vocoder.apply(voc_params, mel_hr)[:, :n]
+    wav2 = modules.vocoder.apply(voc_params, mel_dec)[:, :n]
+    mel1 = log_mel(wav1, n_fft=n_fft, hop=hop, n_mels=n_mels)[:, :frames]
+    mel2 = log_mel(wav2, n_fft=n_fft, hop=hop, n_mels=n_mels)[:, :frames]
+    return (_mrstft(wav1, hr_wave) + _mrstft(wav2, hr_wave)
+            + 0.5 * (jnp.mean(jnp.square(mel1 - mel_hr))
+                     + jnp.mean(jnp.square(mel2 - mel_hr)))
+            + 20.0 * jnp.mean(jnp.square(wav1 - hr_wave)))
+
+
+def distill_vocoder(steps: int = 20000, batch: int = 8, frames: int = 128,
+                    lr: float = 2e-4, seed: int = 0,
+                    src_path: Path = PRETRAINED,
+                    out_path: Path = PRETRAINED_ISTFT,
+                    scan_size: int = 1, ckpt_every: int = 0,
+                    hidden: int = 256, depth: int = 6,
+                    resume: bool = False) -> dict:
+    """Train an iSTFT-head SpectralVocoder against the shipped frozen
+    VAE/UNet and write a complete trio npz (frozen parts copied in), so
+    the result is directly loadable by ``load_pretrained_with_cfg`` /
+    ``resolve_flashsr`` and comparable to the shipped trio with the
+    same ``evaluate()`` draws."""
+    import dataclasses as dc
+
+    import optax
+
+    from .pipeline import FlashSRModules
+    from .train import make_optimizer
+
+    shipped = load_pretrained_with_cfg(src_path)
+    if shipped is None:
+        raise FileNotFoundError(f"distill_vocoder: no shipped trio at {src_path}")
+    cfg0, params0 = shipped
+    frozen = {"vae": params0["vae"], "student_ldm": params0["student_ldm"]}
+
+    if resume:
+        prev = load_pretrained_with_cfg(out_path)
+        if prev is None:
+            raise FileNotFoundError(f"--resume: no weights at {out_path}")
+        cfg, prev_params = prev
+        modules = FlashSRModules(cfg)
+        voc_params = prev_params["sr_vocoder"]
+        print(f"[distill-voc] resuming from {out_path}", flush=True)
+    else:
+        voc_cfg = VocoderConfig(kind="istft", hidden=hidden, depth=depth)
+        cfg = dc.replace(cfg0, vocoder=voc_cfg)
+        modules = FlashSRModules(cfg)
+
+        def build():
+            mel = jnp.zeros((1, 128, 256), jnp.float32)
+            return modules.vocoder.init(jax.random.PRNGKey(seed), mel)
+
+        from ...utils.weights import fast_init_like
+        voc_params = fast_init_like(jax.eval_shape(build), seed)
+
+    length = 480 * frames
+    tx = make_optimizer(lr)
+    opt_state = tx.init(voc_params)
+    base = jax.random.PRNGKey(seed + 11)
+    loss0 = None
+
+    def one(carry, key):
+        voc_p, opt_s = carry
+        kd, kn = jax.random.split(key)
+        lr_w, hr_w = synth_pair_batch(kd, batch, length)
+        loss, grads = jax.value_and_grad(
+            lambda vp: _vocoder_loss(modules, frozen, vp, lr_w, hr_w, kn))(voc_p)
+        updates, opt_s = tx.update(grads, opt_s, voc_p)
+        voc_p = optax.apply_updates(voc_p, updates)
+        return (voc_p, opt_s), loss
+
+    @jax.jit
+    def steps_fn(voc_p, opt_s, key):
+        keys = jax.random.split(key, max(scan_size, 1))
+        (voc_p, opt_s), losses = jax.lax.scan(one, (voc_p, opt_s), keys)
+        return voc_p, opt_s, jnp.mean(losses)
+
+    def assemble(voc_p):
+        return {"vae": frozen["vae"], "student_ldm": frozen["student_ldm"],
+                "sr_vocoder": voc_p}
+
+    def checkpoint(i, voc_p):
+        m = evaluate(assemble(voc_p), cfg, seed=seed + 7, n=2)
+        save_pretrained(assemble(voc_p), out_path, cfg=cfg)
+        print(f"[distill-voc] ckpt @ step {i}: LSD {m['lsd_model']:.2f} dB, "
+              f"SI-SDR {m['sisdr_model']:.2f} dB -> {out_path}", flush=True)
+
+    ss = max(scan_size, 1)
+    since_ckpt = 0
+    for i in range(0, steps, ss):
+        voc_params, opt_state, loss = steps_fn(voc_params, opt_state,
+                                               jax.random.fold_in(base, i))
+        lv = float(loss)
+        if loss0 is None:
+            loss0 = lv
+        print(f"[distill-voc] step {i:5d}..{i + ss - 1} mean loss {lv:.4f}",
+              flush=True)
+        since_ckpt += ss
+        if ckpt_every and since_ckpt >= ckpt_every and i + ss < steps:
+            since_ckpt = 0
+            checkpoint(i, voc_params)
+
+    params = assemble(voc_params)
+    metrics = evaluate(params, cfg, seed=seed + 7)
+    metrics.update(steps=steps, batch=batch, frames=frames,
+                   loss_first=loss0, loss_last=float(loss),
+                   vocoder=f"istft hidden={cfg.vocoder.hidden} depth={cfg.vocoder.depth}")
+    save_pretrained(params, out_path, cfg=cfg)
+    out_path.with_suffix(".json").write_text(json.dumps(metrics, indent=1))
+    print(f"[distill-voc] saved {out_path} metrics={metrics}", flush=True)
+    return metrics
 
 
 # ---------------------------------------------------------------------------
@@ -426,9 +575,22 @@ if __name__ == "__main__":
     ap.add_argument("--resume", action="store_true",
                     help="continue from the shipped pretrained.npz "
                          "(fresh optimizer; pair with a lower --lr)")
+    ap.add_argument("--vocoder-only", action="store_true",
+                    help="train an iSTFT-head SpectralVocoder against the "
+                         "frozen shipped VAE/UNet (writes pretrained_istft.npz)")
+    ap.add_argument("--hidden", type=int, default=256,
+                    help="SpectralVocoder backbone width (--vocoder-only)")
+    ap.add_argument("--depth", type=int, default=6,
+                    help="SpectralVocoder ConvNeXt blocks (--vocoder-only)")
     a = ap.parse_args()
     if a.cpu:
         jax.config.update("jax_platforms", "cpu")
     print("devices:", jax.devices(), flush=True)
-    distill(steps=a.steps, batch=a.batch, frames=a.frames, lr=a.lr, seed=a.seed,
-            scan_size=a.scan, ckpt_every=a.ckpt_every, resume=a.resume)
+    if a.vocoder_only:
+        distill_vocoder(steps=a.steps, batch=a.batch, frames=a.frames, lr=a.lr,
+                        seed=a.seed, scan_size=a.scan, ckpt_every=a.ckpt_every,
+                        hidden=a.hidden, depth=a.depth, resume=a.resume)
+    else:
+        distill(steps=a.steps, batch=a.batch, frames=a.frames, lr=a.lr,
+                seed=a.seed, scan_size=a.scan, ckpt_every=a.ckpt_every,
+                resume=a.resume)

@@ -36,7 +36,7 @@ from .ldm_unet import LDMUNet, LDMUNetConfig
 from .mel import HOP, N_MELS, SAMPLE_RATE, log_mel
 from .unet import StudentUNet, UNetConfig
 from .vae import MelVAE, VAEConfig
-from .vocoder import SRVocoder, VocoderConfig
+from .vocoder import VocoderConfig, build_vocoder
 
 REQ_SR = SAMPLE_RATE                  # 48000 (reference :255)
 CHUNK_S = 5.12                        # reference :256
@@ -66,7 +66,7 @@ class FlashSRModules:
         self.vae = MelVAE(cfg.vae)
         self.unet = (LDMUNet(cfg.unet) if isinstance(cfg.unet, LDMUNetConfig)
                      else StudentUNet(cfg.unet))
-        self.vocoder = SRVocoder(cfg.vocoder)
+        self.vocoder = build_vocoder(cfg.vocoder)
 
     def init_params(self, seed: int = 0) -> dict:
         """Random-init parameter trio (stand-in until ``.pth`` conversion;
@@ -165,7 +165,7 @@ class FlashSRPipeline:
         z_hr = self.modules.unet.apply(params["student_ldm"], z_in, t)
         mel_hr = self.modules.vae.apply(params["vae"], z_hr,
                                         method=MelVAE.decode)[..., 0]
-        if _fused_vocoder_enabled():
+        if cfg.vocoder.kind == "hifigan" and _fused_vocoder_enabled():
             from .vocoder import apply_fused
             wav = apply_fused(params["sr_vocoder"], mel_hr, cfg.vocoder)
         else:

@@ -18,6 +18,7 @@ import dataclasses
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -31,6 +32,15 @@ class VocoderConfig:
     resblock_dilations: Sequence[Sequence[int]] = ((1, 3, 5),) * 3
     channel_floor: int = 64
     dtype: jnp.dtype = jnp.bfloat16
+    # ---- complex-spectrum ("istft") variant (SpectralVocoder) ----
+    # kind="hifigan" is the upstream sr_vocoder.pth layout; "istft" is
+    # the TPU-first head: all compute at 100 Hz frame rate + one iDFT
+    # matmul, instead of transposed-conv stacks at 48 kHz sample rate.
+    kind: str = "hifigan"
+    hidden: int = 256            # istft backbone width
+    depth: int = 6               # istft ConvNeXt-1D blocks
+    mlp_ratio: int = 3
+    istft_nfft: int = 1920       # 4 * hop(480) -> slice-add OLA
 
 
 class ResBlock1D(nn.Module):
@@ -84,6 +94,87 @@ class SRVocoder(nn.Module):
         h = nn.leaky_relu(h, 0.1)
         h = nn.Conv(1, (7,), dtype=c.dtype)(h)
         return jnp.tanh(h.astype(jnp.float32))[..., 0]
+
+
+class ConvNeXtBlock1D(nn.Module):
+    """Frame-rate ConvNeXt block: depthwise k=7 mixing along frames as
+    seven shifted multiply-adds (a 1-channel-group XLA conv never
+    reaches the MXU — same trap as ops/fir.py) + pointwise MLP."""
+    dim: int
+    mlp: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):                         # [B, F, D]
+        w = self.param("dw_kernel", nn.initializers.normal(7 ** -0.5),
+                       (7, self.dim))
+        b = self.param("dw_bias", nn.initializers.zeros, (self.dim,))
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (3, 3), (0, 0)))
+        f = x.shape[1]
+        h = b.astype(self.dtype)
+        for j in range(7):
+            h = h + xp[:, j: j + f, :] * w[j].astype(self.dtype)
+        h = nn.LayerNorm(dtype=self.dtype)(h)      # stats in f32 (flax)
+        h = nn.Dense(self.mlp, dtype=self.dtype)(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype)(h)
+        return x + h
+
+
+class SpectralVocoder(nn.Module):
+    """Complex-spectrum vocoder head: ``mel [B, F, n_mels] -> [B, F*480]``.
+
+    Vocos-style decoding (arXiv:2306.00814 pattern, original
+    implementation): a ConvNeXt backbone at FRAME rate predicts
+    log-magnitude + phase of the (n_fft=4*hop) STFT, and the waveform is
+    the windowed-OLA inverse — ops/stft.istft_dense, one iDFT basis
+    matmul + four shifted adds.
+
+    Two wins over the HiFi-GAN generator (reference lineage,
+    ``egregora_audio_super_resolution.py:350-353``):
+    * quality — the round-3 post-mortem localized the pipeline LSD floor
+      in the mel->waveform stage; LSD is a log-magnitude metric and this
+      head regresses the log-magnitude *directly* (mel is 256 compressed
+      magnitude bins; inverting to 961 linear bins is near-deterministic),
+      rather than asking time-domain convs to reconstruct magnitudes
+      through phase-blurred waveform regression;
+    * speed — every FLOP runs at 100 Hz frame rate as full-width
+      matmuls (D>=128 keeps MXU lanes full) vs transposed-conv stacks at
+      48 kHz whose narrow stages move 8x their bytes in lane padding.
+    """
+    cfg: VocoderConfig = VocoderConfig(kind="istft")
+
+    @nn.compact
+    def __call__(self, mel):
+        c = self.cfg
+        n_fft = c.istft_nfft
+        hop = 480
+        nbins = n_fft // 2 + 1
+        x = nn.Conv(c.hidden, (7,), dtype=c.dtype)(mel.astype(c.dtype))
+        x = nn.LayerNorm(dtype=c.dtype)(x)
+        for _ in range(c.depth):
+            x = ConvNeXtBlock1D(c.hidden, c.hidden * c.mlp_ratio, c.dtype)(x)
+        x = nn.LayerNorm(dtype=c.dtype)(x)
+        logmag = nn.Dense(nbins, dtype=c.dtype)(x).astype(jnp.float32)
+        ph = nn.Dense(2 * nbins, dtype=c.dtype)(x).astype(jnp.float32)
+        pr, pi = ph[..., :nbins], ph[..., nbins:]
+        inv = jax.lax.rsqrt(pr * pr + pi * pi + 1e-6)
+        mag = jnp.exp(jnp.clip(logmag, -30.0, 9.0))
+        from ...ops.stft import istft_dense
+        y = istft_dense(mag * pr * inv, mag * pi * inv, n_fft, hop)
+        # mel frame f is centered at sample f*hop (log_mel center-pads
+        # by n_fft//2); synthesis frame f's window center sits at OLA
+        # coordinate f*hop + n_fft//2 — shift by n_fft//2 to align.
+        f = mel.shape[-2]
+        return y[..., n_fft // 2: n_fft // 2 + f * hop]
+
+
+def build_vocoder(cfg: VocoderConfig):
+    """Module for ``cfg.kind`` ("hifigan" -> SRVocoder, the upstream
+    sr_vocoder.pth layout; "istft" -> SpectralVocoder)."""
+    if cfg.kind == "istft":
+        return SpectralVocoder(cfg)
+    return SRVocoder(cfg)
 
 
 def apply_fused(variables: dict, mel: jnp.ndarray,

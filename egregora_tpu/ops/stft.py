@@ -112,6 +112,71 @@ def istft(spec: jnp.ndarray, n_fft: int, hop: int, length: int, *,
 
 
 @functools.lru_cache(maxsize=8)
+def _synthesis_idft_basis(n_fft: int, window: str) -> Tuple[np.ndarray, np.ndarray]:
+    """``(cos_basis, sin_basis)`` each ``[n_fft//2+1, n_fft]`` such that
+    ``re @ cb + im @ sb == irfft(re + i*im) * window`` — the windowed
+    inverse real DFT as one dense matmul (MXU) instead of a native TPU
+    FFT (scalar-slow; see ops/fft.py notes)."""
+    w = hann_periodic(n_fft) if window == "hann_periodic" else hann_symmetric(n_fft)
+    nbins = n_fft // 2 + 1
+    k = np.arange(nbins)[:, None]
+    n = np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    ck = np.full((nbins, 1), 2.0 / n_fft)
+    ck[0, 0] = 1.0 / n_fft
+    if n_fft % 2 == 0:
+        ck[-1, 0] = 1.0 / n_fft
+    cb = (np.cos(ang) * ck * w[None, :]).astype(np.float32)
+    sb = (-np.sin(ang) * ck * w[None, :]).astype(np.float32)
+    return cb, sb
+
+
+@functools.lru_cache(maxsize=64)
+def _ola_wsum(n_fft: int, hop: int, frames: int, window: str) -> np.ndarray:
+    """Squared-window overlap-add normalizer ``[(frames-1)*hop + n_fft]``."""
+    w = hann_periodic(n_fft) if window == "hann_periodic" else hann_symmetric(n_fft)
+    ws = np.zeros((frames - 1) * hop + n_fft, np.float64)
+    w2 = (w.astype(np.float64)) ** 2
+    for f in range(frames):
+        ws[f * hop: f * hop + n_fft] += w2
+    return ws.astype(np.float32)
+
+
+def istft_dense(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int, *,
+                window: str = "hann_periodic") -> jnp.ndarray:
+    """Gather/scatter/FFT-free inverse STFT for integer overlap ratios.
+
+    ``re, im [..., F, n_fft//2+1] -> [..., (F-1)*hop + n_fft]`` with
+    torch.istft semantics (synthesis window applied, squared-window OLA
+    normalization).  Requires ``n_fft % hop == 0``: each hop-sized
+    output block then receives exactly ``n_fft//hop`` frame sub-blocks,
+    so the overlap-add is a sum of statically shifted pads — the
+    arbitrary-index scatter-add of ``istft`` is the canonical TPU trap
+    (it was ~0.7 s of a 1.06 s node program before ops/wola got the
+    same treatment).  The iDFT runs as one dense basis matmul.
+    """
+    if n_fft % hop:
+        raise ValueError(f"istft_dense needs n_fft % hop == 0, got {n_fft}/{hop}")
+    k_full = n_fft // hop
+    cb, sb = _synthesis_idft_basis(n_fft, window)
+    frames = re @ jnp.asarray(cb) + im @ jnp.asarray(sb)   # [..., F, n_fft]
+    f = frames.shape[-2]
+    sub = frames.reshape(frames.shape[:-1] + (k_full, hop))
+    total_blocks = f - 1 + k_full
+    lead = frames.ndim - 2
+    acc = None
+    for j in range(k_full):
+        part = jnp.pad(sub[..., :, j, :],
+                       [(0, 0)] * lead + [(j, total_blocks - f - j), (0, 0)])
+        acc = part if acc is None else acc + part
+    y = acc.reshape(acc.shape[:-2] + (total_blocks * hop,))
+    wsum = jnp.asarray(_ola_wsum(n_fft, hop, f, window))
+    floor = 1e-3 * float(np.max(_ola_wsum(n_fft, hop, f, window)))
+    y = y * (wsum >= floor)
+    return y / jnp.where(wsum >= floor, wsum, 1.0)
+
+
+@functools.lru_cache(maxsize=8)
 def _windowed_dft_kernel(n_fft: int, window: str) -> np.ndarray:
     """``[2*(n_fft//2+1), 1, n_fft]`` conv kernel: windowed DFT basis
     (cos rows then -sin rows) so a strided conv IS the STFT."""

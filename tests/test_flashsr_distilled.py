@@ -81,3 +81,47 @@ def test_resolve_flashsr_prefers_distilled(tmp_path, monkeypatch):
     assert cfg.unet.base_channels == load_pretrained_with_cfg()[0].unet.base_channels
     n = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
     assert n < 10_000_000            # compact trio, not the full config
+
+
+# ---------------- complex-spectrum ("istft") vocoder variant ----------------
+
+def test_spectral_vocoder_forward_and_cfg_roundtrip():
+    import dataclasses as dc
+
+    from egregora_tpu.models.flashsr.distill import (_cfg_from_json,
+                                                     _cfg_to_json,
+                                                     distilled_config)
+    from egregora_tpu.models.flashsr.vocoder import (SpectralVocoder,
+                                                     VocoderConfig,
+                                                     build_vocoder)
+
+    vcfg = VocoderConfig(kind="istft", hidden=32, depth=1)
+    voc = build_vocoder(vcfg)
+    assert isinstance(voc, SpectralVocoder)
+    mel = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 256))
+    params = voc.init(jax.random.PRNGKey(1), mel)
+    wav = voc.apply(params, mel)
+    assert wav.shape == (2, 16 * 480)
+    assert np.isfinite(np.asarray(wav)).all()
+
+    cfg = dc.replace(distilled_config(), vocoder=vcfg)
+    rt = _cfg_from_json(_cfg_to_json(cfg))
+    assert rt.vocoder.kind == "istft"
+    assert rt.vocoder.hidden == 32 and rt.vocoder.depth == 1
+    assert rt == cfg
+
+
+def test_pipeline_runs_with_istft_vocoder():
+    import dataclasses as dc
+
+    from egregora_tpu.models.flashsr.distill import distilled_config
+    from egregora_tpu.models.flashsr.pipeline import FlashSRModules
+    from egregora_tpu.models.flashsr.vocoder import VocoderConfig
+
+    cfg = dc.replace(distilled_config(),
+                     vocoder=VocoderConfig(kind="istft", hidden=32, depth=1))
+    pipe = FlashSRPipeline(cfg, params=FlashSRModules(cfg).init_params(0))
+    x = jax.random.normal(jax.random.PRNGKey(2), (CHUNK_SAMPLES,)) * 0.1
+    y = np.asarray(pipe.chunk_forward(pipe.params, x[None], lowpass_input=False))
+    assert y.shape == (1, CHUNK_SAMPLES)
+    assert np.isfinite(y).all()

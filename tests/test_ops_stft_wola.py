@@ -172,3 +172,33 @@ def test_fir_same_matches_npconvolve(rng):
         ref = np.stack([np.convolve(x[c], h, mode="same") for c in range(2)])
         got = np.asarray(fir_same(jnp.asarray(x), h))
         np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+# ---------------- dense (gather/scatter-free) iSTFT ----------------
+
+def test_istft_dense_matches_scatter_istft(rng):
+    from egregora_tpu.ops.stft import istft_dense
+    n_fft, hop, f = 512, 128, 23
+    spec = (rng.standard_normal((2, f, n_fft // 2 + 1))
+            + 1j * rng.standard_normal((2, f, n_fft // 2 + 1))).astype(np.complex64)
+    total = (f - 1) * hop + n_fft
+    ref = np.asarray(istft(jnp.asarray(spec), n_fft, hop, total))
+    got = np.asarray(istft_dense(jnp.asarray(spec.real), jnp.asarray(spec.imag),
+                                 n_fft, hop))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_istft_dense_perfect_reconstruction(rng):
+    from egregora_tpu.ops.stft import istft_dense
+    x = rng.standard_normal(8192).astype(np.float32)
+    n_fft, hop = 1920, 480
+    spec = stft(jnp.asarray(x), n_fft, hop, window="hann_periodic")
+    y = np.asarray(istft_dense(jnp.real(spec), jnp.imag(spec), n_fft, hop))
+    np.testing.assert_allclose(y[n_fft:-n_fft], x[n_fft: y.size - n_fft], atol=1e-4)
+
+
+def test_istft_dense_requires_integer_overlap():
+    from egregora_tpu.ops.stft import istft_dense
+    with pytest.raises(ValueError):
+        istft_dense(jnp.zeros((1, 4, 257)), jnp.zeros((1, 4, 257)), 512, 100)
