@@ -387,7 +387,53 @@ def bench_device_pipeline(pipe, jnp) -> None:
     _emit("flashsr_pipeline_rtf_48k", rtf, "x_realtime_per_chip", rtf / 100.0)
 
 
+def _probe_backend(q) -> None:  # subprocess target (spawn-safe, module-level)
+    import os
+
+    import jax
+
+    # sitecustomize's register() pins jax_platforms="axon,cpu" via
+    # jax.config at interpreter start, which OVERRIDES the env var —
+    # re-apply the env so the probe respects JAX_PLATFORMS=cpu (tests).
+    plats = os.environ.get("JAX_PLATFORMS")
+    if plats:
+        jax.config.update("jax_platforms", plats)
+    q.put(jax.devices()[0].platform)
+
+
+def _backend_watchdog(timeout_s: float = 900.0) -> bool:
+    """True if the configured jax backend answers device enumeration.
+
+    The axon relay terminal can wedge (a client killed mid-remote-
+    compile leaves ``jax.devices()`` hanging for every process —
+    observed 2026-08-17, >90 min).  Probing in a *subprocess* keeps the
+    hang out of this process so the driver's bench run fails loudly in
+    ``timeout_s`` with a parseable JSON line instead of hanging the
+    round.  Only the probe child is killed (by PID) — it is blocked at
+    device enumeration, not mid-compile, so the kill cannot wedge the
+    relay further (the recovery probe loop does the same every 5 min).
+    """
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    p = ctx.Process(target=_probe_backend, args=(q,), daemon=True)
+    p.start()
+    p.join(timeout_s)
+    if p.is_alive():
+        p.terminate()
+        p.join(10)
+        _emit("backend_unreachable", 0.0,
+              f"jax.devices() no answer in {timeout_s:.0f}s "
+              "(relay wedged?)", 0.0)
+        return False
+    return True
+
+
 def main() -> None:
+    if not _backend_watchdog():
+        return
+
     import jax
     import jax.numpy as jnp
 

@@ -47,3 +47,38 @@ def test_bench_rnnoise_runs(capsys):
     bench.bench_rnnoise(jnp, secs=5)
     out = capsys.readouterr().out
     assert '"rnnoise_rtf_48k"' in out, out
+
+
+def test_backend_watchdog_cpu_ok(monkeypatch):
+    import bench
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert bench._backend_watchdog(120.0) is True
+
+
+def test_backend_watchdog_reports_unreachable(monkeypatch, capsys):
+    import bench
+
+    class Hung:
+        def is_alive(self):
+            return True
+
+        def terminate(self):
+            pass
+
+        def join(self, *a):
+            pass
+
+        def start(self):
+            pass
+
+    class Ctx:
+        def Queue(self):
+            return None
+
+        def Process(self, **kw):
+            return Hung()
+
+    monkeypatch.setattr("multiprocessing.get_context", lambda *_: Ctx())
+    assert bench._backend_watchdog(0.1) is False
+    out = capsys.readouterr().out
+    assert '"backend_unreachable"' in out
