@@ -496,8 +496,12 @@ def resolve_flashsr(seed: int = 0):
 
     1. the three real reference checkpoints, converted  -> full config
     2. shipped synthetic-distilled ``pretrained.npz``   -> compact config
+       (``EGREGORA_FLASHSR_VARIANT=istft`` prefers the complex-spectrum
+       ``pretrained_istft.npz`` trio when it ships)
     3. seeded random init (loud warning)                -> full config
     """
+    import os
+
     from ...utils.weights import (ensure_flashsr_weights, flashsr_ckpt_dir,
                                   missing_flashsr_files)
     from .pipeline import FlashSRModules
@@ -505,6 +509,14 @@ def resolve_flashsr(seed: int = 0):
     if not missing_flashsr_files() or (flashsr_ckpt_dir() / "flashsr_params.npz").exists():
         cfg = FlashSRConfig()
         return cfg, ensure_flashsr_weights(FlashSRModules(cfg), seed), "converted"
+    variant = os.environ.get("EGREGORA_FLASHSR_VARIANT", "").strip().lower()
+    if variant in ("istft", "vocos"):
+        shipped = load_pretrained_with_cfg(PRETRAINED_ISTFT)
+        if shipped is not None:
+            return shipped[0], shipped[1], "distilled-istft"
+        print("[egregora_tpu] FlashSR: EGREGORA_FLASHSR_VARIANT="
+              f"{variant!r} but no {PRETRAINED_ISTFT.name} shipped — "
+              "falling back to the default trio")
     shipped = load_pretrained_with_cfg()
     if shipped is not None:
         return shipped[0], shipped[1], "distilled"

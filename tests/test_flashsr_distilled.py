@@ -111,6 +111,35 @@ def test_spectral_vocoder_forward_and_cfg_roundtrip():
     assert rt == cfg
 
 
+def test_resolve_flashsr_variant_env(tmp_path, monkeypatch, capsys):
+    """EGREGORA_FLASHSR_VARIANT=istft prefers pretrained_istft.npz when
+    it ships, and falls back (loudly) to the default trio when not."""
+    import dataclasses as dc
+
+    from egregora_tpu.models.flashsr import distill as dmod
+    from egregora_tpu.models.flashsr.pipeline import FlashSRModules
+    from egregora_tpu.models.flashsr.vocoder import VocoderConfig
+
+    monkeypatch.setenv("EGREGORA_TPU_WEIGHTS", str(tmp_path))  # no converted
+    monkeypatch.setenv("EGREGORA_FLASHSR_VARIANT", "istft")
+
+    # absent istft trio -> warn + fall back to the default shipped trio
+    monkeypatch.setattr(dmod, "PRETRAINED_ISTFT", tmp_path / "absent.npz")
+    cfg, params, source = dmod.resolve_flashsr()
+    assert source in ("distilled", "random")
+    assert "EGREGORA_FLASHSR_VARIANT" in capsys.readouterr().out
+
+    # shipped istft trio -> selected, istft geometry round-trips
+    icfg = dc.replace(dmod.distilled_config(),
+                      vocoder=VocoderConfig(kind="istft", hidden=32, depth=1))
+    ipath = tmp_path / "pretrained_istft.npz"
+    dmod.save_pretrained(FlashSRModules(icfg).init_params(0), ipath, cfg=icfg)
+    monkeypatch.setattr(dmod, "PRETRAINED_ISTFT", ipath)
+    cfg, params, source = dmod.resolve_flashsr()
+    assert source == "distilled-istft"
+    assert cfg.vocoder.kind == "istft" and cfg.vocoder.hidden == 32
+
+
 def test_pipeline_runs_with_istft_vocoder():
     import dataclasses as dc
 
