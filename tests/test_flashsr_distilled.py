@@ -111,6 +111,31 @@ def test_spectral_vocoder_forward_and_cfg_roundtrip():
     assert rt == cfg
 
 
+@needs_weights
+def test_distill_vocoder_smoke(tmp_path, monkeypatch):
+    """Two optimizer steps of the vocoder-only trainer end-to-end
+    (frozen shipped trio load -> loss -> scan -> save -> reload):
+    guards the wiring that long TPU runs depend on.  The final
+    full-chunk evaluate() is stubbed — it is the dominant cost on a
+    1-core CI box and is gated by test_shipped_* already."""
+    from egregora_tpu.models.flashsr import distill as dmod
+
+    monkeypatch.setattr(dmod, "evaluate",
+                        lambda *a, **k: {"lsd_model": 0.0, "sisdr_model": 0.0})
+    out = tmp_path / "istft_trio.npz"
+    m = dmod.distill_vocoder(steps=2, batch=1, frames=16, lr=1e-4,
+                             scan_size=2, hidden=16, depth=1, out_path=out)
+    assert np.isfinite(m["loss_last"])
+    cfg, params = dmod.load_pretrained_with_cfg(out)
+    assert cfg.vocoder.kind == "istft"
+    assert set(params) == {"vae", "student_ldm", "sr_vocoder"}
+
+    # --resume against the written trio continues rather than crashing
+    m2 = dmod.distill_vocoder(steps=2, batch=1, frames=16, lr=1e-4,
+                              scan_size=2, out_path=out, resume=True)
+    assert np.isfinite(m2["loss_last"])
+
+
 def test_resolve_flashsr_variant_env(tmp_path, monkeypatch, capsys):
     """EGREGORA_FLASHSR_VARIANT=istft prefers pretrained_istft.npz when
     it ships, and falls back (loudly) to the default trio when not."""
