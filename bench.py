@@ -384,7 +384,41 @@ def bench_device_pipeline(pipe, jnp) -> None:
         _emit("flashsr_pipeline_mfu_pct_failed", 0.0,
               f"error:{type(e).__name__}", 0.0)
 
+    try:
+        bench_istft_pipeline(pipe, jnp, x_dev, secs)
+    except Exception as e:
+        _emit("flashsr_pipeline_istft_rtf_48k_failed", 0.0,
+              f"error:{type(e).__name__}", 0.0)
+
     _emit("flashsr_pipeline_rtf_48k", rtf, "x_realtime_per_chip", rtf / 100.0)
+
+
+def bench_istft_pipeline(pipe, jnp, x_dev, secs: int, vcfg=None) -> None:
+    """Same fused pipeline with the complex-spectrum SpectralVocoder
+    head (vocoder kind="istft": ConvNeXt backbone at 100 Hz frame rate
+    + one iDFT matmul) in place of the HiFi-GAN generator — the
+    vocoder is the dominant stage of the default config, so this line
+    shows what the Vocos-style head buys.  Timing-only: weights are
+    the same random-init standard as the flagship line."""
+    import dataclasses as dc
+
+    import jax
+
+    from egregora_tpu.models.flashsr.pipeline import FlashSRPipeline
+    from egregora_tpu.models.flashsr.vocoder import VocoderConfig
+
+    cfg = dc.replace(pipe.cfg, vocoder=vcfg or VocoderConfig(kind="istft"))
+    ipipe = FlashSRPipeline(cfg, seed=0)
+    fn = ipipe._fused_process(None, False, 16000, 48000, 1)
+    red = jax.jit(lambda p, x: fn(p, x).sum())
+    _sync(red(ipipe.params, x_dev))         # compile + settle
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _sync(red(ipipe.params, x_dev))
+        best_dt = min(best_dt, time.time() - t0)
+    _emit("flashsr_pipeline_istft_rtf_48k", secs / best_dt,
+          "x_realtime_per_chip", (secs / best_dt) / 100.0)
 
 
 def _probe_backend(q) -> None:  # subprocess target (spawn-safe, module-level)

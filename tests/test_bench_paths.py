@@ -49,6 +49,21 @@ def test_bench_rnnoise_runs(capsys):
     assert '"rnnoise_rtf_48k"' in out, out
 
 
+def test_bench_istft_pipeline_runs(tiny_pipe, capsys):
+    from egregora_tpu.models.flashsr.vocoder import VocoderConfig
+
+    import bench
+    secs = 12
+    x = jnp.asarray((np.random.default_rng(4)
+                     .standard_normal((1, 16000 * secs)) * 0.1)
+                    .astype(np.float32))
+    bench.bench_istft_pipeline(tiny_pipe, jnp, x, secs,
+                               vcfg=VocoderConfig(kind="istft", hidden=32,
+                                                  depth=1))
+    out = capsys.readouterr().out
+    assert '"flashsr_pipeline_istft_rtf_48k"' in out, out
+
+
 def test_backend_watchdog_cpu_ok(monkeypatch):
     import bench
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
