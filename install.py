@@ -61,6 +61,7 @@ def check_weights() -> None:
     from egregora_tpu.models.dac.train import PRETRAINED as DAC_PRE
     from egregora_tpu.models.deepfilternet.train import pretrained_path as dfn_path
     from egregora_tpu.models.flashsr.distill import PRETRAINED as SR_PRE
+    from egregora_tpu.models.flashsr.distill import PRETRAINED_ISTFT
     from egregora_tpu.models.rnnoise.train import pretrained_path as rn_path
     rows = [("FlashSR distilled trio", SR_PRE.exists()),
             ("RNNoise", rn_path().exists()),
@@ -69,6 +70,9 @@ def check_weights() -> None:
     rows += [(f"DAC {t}", p.exists()) for t, p in sorted(DAC_PRE.items())]
     for name, ok in rows:
         print(f"[weights] shipped {name}: {'present' if ok else 'MISSING'}")
+    if PRETRAINED_ISTFT.exists():   # optional variant, not a MISSING-able set
+        print("[weights] shipped FlashSR istft trio: present "
+              "(serve with EGREGORA_FLASHSR_VARIANT=istft)")
 
 
 def warmups() -> None:
