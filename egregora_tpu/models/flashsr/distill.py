@@ -230,18 +230,21 @@ def distill_vocoder(steps: int = 20000, batch: int = 8, frames: int = 128,
     base = jax.random.PRNGKey(seed + 11)
     loss0 = None
 
-    def one(carry, key):
-        voc_p, opt_s = carry
-        kd, kn = jax.random.split(key)
-        lr_w, hr_w = synth_pair_batch(kd, batch, length)
-        loss, grads = jax.value_and_grad(
-            lambda vp: _vocoder_loss(modules, frozen, vp, lr_w, hr_w, kn))(voc_p)
-        updates, opt_s = tx.update(grads, opt_s, voc_p)
-        voc_p = optax.apply_updates(voc_p, updates)
-        return (voc_p, opt_s), loss
-
     @jax.jit
-    def steps_fn(voc_p, opt_s, key):
+    def steps_fn(voc_p, opt_s, frz, key):
+        # ``frz`` (the frozen VAE/UNet trees) is an explicit argument:
+        # closing over ~6.7M params would inline them as HLO literals
+        # and bloat/reject the relay compile request (CLAUDE.md).
+        def one(carry, k):
+            vp, os_ = carry
+            kd, kn = jax.random.split(k)
+            lr_w, hr_w = synth_pair_batch(kd, batch, length)
+            loss, grads = jax.value_and_grad(
+                lambda p: _vocoder_loss(modules, frz, p, lr_w, hr_w, kn))(vp)
+            updates, os_ = tx.update(grads, os_, vp)
+            vp = optax.apply_updates(vp, updates)
+            return (vp, os_), loss
+
         keys = jax.random.split(key, max(scan_size, 1))
         (voc_p, opt_s), losses = jax.lax.scan(one, (voc_p, opt_s), keys)
         return voc_p, opt_s, jnp.mean(losses)
@@ -259,7 +262,7 @@ def distill_vocoder(steps: int = 20000, batch: int = 8, frames: int = 128,
     ss = max(scan_size, 1)
     since_ckpt = 0
     for i in range(0, steps, ss):
-        voc_params, opt_state, loss = steps_fn(voc_params, opt_state,
+        voc_params, opt_state, loss = steps_fn(voc_params, opt_state, frozen,
                                                jax.random.fold_in(base, i))
         lv = float(loss)
         if loss0 is None:
