@@ -225,6 +225,10 @@ def distill_vocoder(steps: int = 20000, batch: int = 8, frames: int = 128,
         voc_params = fast_init_like(jax.eval_shape(build), seed)
 
     length = 480 * frames
+    # one-time upload: the loaded trees are host numpy; as bare jit
+    # arguments they would re-cross the relay (~27 MB) on EVERY dispatch
+    frozen = jax.device_put(frozen)
+    voc_params = jax.device_put(voc_params)
     tx = make_optimizer(lr)
     opt_state = tx.init(voc_params)
     base = jax.random.PRNGKey(seed + 11)
@@ -563,6 +567,10 @@ def evaluate(params, cfg: FlashSRConfig, seed: int = 7, n: int = 4) -> dict:
             return (jnp.mean(r_pt["lsd_mean_db"]), jnp.mean(r_md["lsd_mean_db"]),
                     jnp.mean(r_pt["si_sdr_db"]), jnp.mean(r_md["si_sdr_db"]))
 
+        # the closure only ever calls pipe.chunk_forward(params, ...);
+        # drop the constructor's params so the module-lifetime cache
+        # doesn't pin the first caller's full trio
+        pipe.params = None
         _EVAL_CACHE[cache_key] = fn
 
     lsd_pt, lsd_md, sisdr_pt, sisdr_md = (

@@ -197,6 +197,15 @@ def apply_fused(variables: dict, mel: jnp.ndarray,
 
     p = variables["params"]
     c = cfg
+    # the fused kernel applies ONE dilation schedule to every branch;
+    # heterogeneous per-branch dilations (some HiFi-GAN variants) must
+    # fail loudly rather than silently convolve with wrong fields
+    if any(tuple(d) != tuple(c.resblock_dilations[0])
+           for d in c.resblock_dilations):
+        raise NotImplementedError(
+            "apply_fused: per-branch resblock_dilations differ "
+            f"({c.resblock_dilations}); the fused MRF kernel assumes one "
+            "schedule — use SRVocoder.apply for this config")
     h = nn_.Conv(c.upsample_initial, (7,), dtype=c.dtype).apply(
         {"params": p["Conv_0"]}, mel)
     ch = c.upsample_initial

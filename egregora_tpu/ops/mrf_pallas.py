@@ -198,7 +198,7 @@ def mrf_fused_cm(x_cm: jnp.ndarray,
 
     kernel = functools.partial(_mrf_kernel, tuple(kernels), tuple(dilations),
                                halo, block_t, t)
-    flops, bytes_io = _mrf_cost(b, c, t, nt, block_t, kernels, dilations,
+    flops, bytes_io = _mrf_cost(b, c, nt, block_t, l, kernels, dilations,
                                 x_cm.dtype)
     out = pl.pallas_call(
         kernel,
@@ -215,12 +215,12 @@ def mrf_fused_cm(x_cm: jnp.ndarray,
     return jnp.swapaxes(out, 1, 2).reshape(b, c, nt * block_t)[:, :, :t]
 
 
-def _mrf_cost(b, c, t, nt, block_t, kernels, dilations, dtype):
+def _mrf_cost(b, c, nt, block_t, l, kernels, dilations, dtype):
     """(flops, bytes_accessed) of the whole fused call — the per-conv
     matmuls on the shrinking valid tiles, and one tile read + one tile
-    write of HBM traffic (the point of the kernel)."""
-    halo = -(-max(branch_halo(k, dilations) for k in kernels) // 64) * 64
-    l = block_t + 2 * halo
+    write of HBM traffic (the point of the kernel).  ``l`` is the
+    caller's actual tile width so the estimate can't drift from the
+    kernel geometry."""
     flops = sum(2 * 2 * k * c * c * l for k in kernels for _ in dilations)
     flops *= b * nt
     esize = jnp.dtype(dtype).itemsize

@@ -138,11 +138,7 @@ def ist_upscale(x_cs: jnp.ndarray, factor: int, max_iterations: int,
             # clamp_observed in the fold domain
             zr = zr + (yr - jnp.mean(zr, axis=2))[:, :, None, :]
             zi = zi + (yi - jnp.mean(zi, axis=2))[:, :, None, :]
-            mag2 = zr * zr + zi * zi
-            tau2 = jnp.square(thr) * jnp.max(mag2, axis=(1, 2, 3),
-                                             keepdims=True)
-            keep = mag2 >= tau2
-            return zr * keep, zi * keep
+            return gate(zr, zi)
 
         zr, zi = jax.lax.fori_loop(0, max_iterations, body, (zr, zi))
         x = irfft_permuted(zr.reshape(c, n1, n2), zi.reshape(c, n1, n2),

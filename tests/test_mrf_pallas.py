@@ -37,6 +37,19 @@ def test_apply_fused_mixed_wide_stage():
     _check_fused(cfg, jnp.float32, 2e-4)
 
 
+def test_apply_fused_rejects_heterogeneous_dilations():
+    """The fused kernel applies one dilation schedule to every branch;
+    configs with per-branch schedules must fail loudly instead of
+    silently convolving with wrong receptive fields."""
+    cfg = dataclasses.replace(
+        _cfg(jnp.float32), resblock_dilations=((1, 3, 5), (1, 3, 5), (2, 6, 12)))
+    voc = SRVocoder(cfg)
+    mel = jnp.zeros((1, 16, 8), jnp.float32)
+    params = voc.init(jax.random.PRNGKey(0), mel)
+    with pytest.raises(NotImplementedError, match="resblock_dilations"):
+        apply_fused(params, mel, cfg, interpret=True)
+
+
 def _check_fused(cfg, dtype, atol):
     voc = SRVocoder(cfg)
     rng = np.random.default_rng(0)
