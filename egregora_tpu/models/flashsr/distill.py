@@ -435,7 +435,9 @@ def _cfg_to_json(cfg: FlashSRConfig) -> str:
     return json.dumps({"vae": enc(cfg.vae), "unet": enc(cfg.unet),
                        "vocoder": enc(cfg.vocoder),
                        "crossover_hz": cfg.crossover_hz,
-                       "noise_seed": cfg.noise_seed})
+                       "noise_seed": cfg.noise_seed,
+                       "envelope_match": cfg.envelope_match,
+                       "adaptive_crossover": cfg.adaptive_crossover})
 
 
 def _cfg_from_json(s: str) -> FlashSRConfig:
@@ -448,7 +450,9 @@ def _cfg_from_json(s: str) -> FlashSRConfig:
                          unet=dec(UNetConfig, d["unet"]),
                          vocoder=dec(VocoderConfig, d["vocoder"]),
                          crossover_hz=d["crossover_hz"],
-                         noise_seed=d["noise_seed"])
+                         noise_seed=d["noise_seed"],
+                         envelope_match=d.get("envelope_match", False),
+                         adaptive_crossover=d.get("adaptive_crossover", True))
 
 
 def save_pretrained(params, path: Path = PRETRAINED,

@@ -79,6 +79,96 @@ def mel_filterbank(sr: int = SAMPLE_RATE, n_fft: int = N_FFT, n_mels: int = N_ME
     return fb.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=8)
+def _mel_unmix(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
+    """``[n_mels, n_fft//2+1]`` bin-interpolation weights: column-
+    normalized filterbank transpose, so a per-mel-band log-gain maps to
+    a smooth per-bin log-gain (weighted average of the bands covering
+    each bin; uncovered bins get weight 0 => gain 1 after exp)."""
+    fb = mel_filterbank(sr, n_fft, n_mels)            # [bins, mels]
+    cover = np.maximum(fb.sum(axis=1, keepdims=True), 1e-10)
+    return (fb / cover).T.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _frame_interp(frames_out: int, hop_out: int, frames_in: int,
+                  hop_in: int) -> np.ndarray:
+    """``[frames_out, frames_in]`` linear time-interpolation matrix
+    between two center-aligned frame grids (static — a tiny matmul
+    instead of a gather, which lowers badly on TPU)."""
+    pos = np.arange(frames_out) * (hop_out / hop_in)
+    pos = np.clip(pos, 0.0, frames_in - 1.0)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, frames_in - 1)
+    w = (pos - lo).astype(np.float32)
+    m = np.zeros((frames_out, frames_in), np.float32)
+    m[np.arange(frames_out), lo] += 1.0 - w
+    m[np.arange(frames_out), hi] += w
+    return m
+
+
+@functools.partial(jax.jit, static_argnames=("sr", "n_fft", "hop",
+                                             "max_log_gain", "replace"))
+def mel_envelope_match(wav: jnp.ndarray, log_mel_tgt: jnp.ndarray,
+                       sr: int = SAMPLE_RATE, n_fft: int = N_FFT,
+                       hop: int = 512,
+                       max_log_gain: float = 2.5,
+                       replace: bool = False) -> jnp.ndarray:
+    """Re-impose a predicted log-mel envelope on a waveform's STFT
+    magnitude: ``[..., T], [..., mel_frames, n_mels] -> [..., T]``.
+
+    The round-3 stage ablation showed the FlashSR pipeline's residual
+    LSD lives entirely in the mel->waveform stage while the predicted
+    mel is near-exact — so projecting the vocoder output back onto that
+    mel envelope (per-band amplitude ratio in log domain, linearly
+    interpolated over frames and bins, clamped to ``max_log_gain``
+    nats) removes the vocoder's band-scale magnitude error at zero
+    training cost.  All steps are static matmuls (analysis/synthesis
+    DFT bases, filterbank, interpolation) — no gathers/scatters; the
+    correction STFT runs at hop 512 so synthesis can use the
+    scatter-free ``istft_dense`` (needs ``n_fft % hop == 0``; the mel
+    grid's hop 480 does not divide 2048).
+
+    ``replace=True`` goes further: the output magnitude becomes the
+    smooth mel-implied envelope itself (vocoder phase kept) instead of
+    the vocoder magnitude times band gains.  When the truth's high-band
+    fine structure is unpredictable noise (the round-3 LSD floor), the
+    smooth envelope is the log-L2-optimal magnitude (expected LSD sigma
+    instead of sigma*sqrt(2) for an independent realization) — at the
+    cost of smearing any true narrow partials across their mel band.
+    """
+    from ...ops.stft import istft_dense, stft_conv
+
+    t = wav.shape[-1]
+    mel_frames, n_mels = log_mel_tgt.shape[-2:]
+    pad = n_fft // 2
+    xp = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(pad, pad)], mode="reflect")
+    re, im = stft_conv(xp, n_fft, hop, window="hann_periodic")
+    mag = jnp.sqrt(re * re + im * im + 1e-20)
+    fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
+    cur = jnp.log(jnp.clip(mag @ fb, 1e-5, None))     # [..., Fc, mels]
+    ti = jnp.asarray(_frame_interp(re.shape[-2], hop, mel_frames, HOP))
+    tgt = jnp.einsum("fj,...jm->...fm", ti, log_mel_tgt)
+    unmix = jnp.asarray(_mel_unmix(sr, n_fft, n_mels))
+    if replace:
+        # mel values are filterbank-weighted SUMS over bins; dividing
+        # each band by its weight-sum gives the flat-within-band
+        # per-bin amplitude the band implies, then unmix interpolates
+        # the log-envelope across bins (vocoder phase kept)
+        fb_np = mel_filterbank(sr, n_fft, n_mels)
+        s1 = np.maximum(fb_np.sum(axis=0), 1e-10)       # [mels]
+        env_log = (tgt - jnp.asarray(np.log(s1, dtype=np.float32))) @ unmix
+        dlog_bin = jnp.clip(env_log - jnp.log(jnp.clip(mag, 1e-5, None)),
+                            -max_log_gain, max_log_gain)
+        covered = jnp.asarray(fb_np.sum(axis=1) > 0)    # [bins]
+        gain = jnp.where(covered, jnp.exp(dlog_bin), 1.0)
+    else:
+        dlog = jnp.clip(tgt - cur, -max_log_gain, max_log_gain)
+        gain = jnp.exp(dlog @ unmix)
+    y = istft_dense(re * gain, im * gain, n_fft, hop)
+    return y[..., pad: pad + t]
+
+
 @functools.partial(jax.jit, static_argnames=("sr", "n_fft", "hop", "n_mels"))
 def log_mel(x: jnp.ndarray, sr: int = SAMPLE_RATE, n_fft: int = N_FFT,
             hop: int = HOP, n_mels: int = N_MELS) -> jnp.ndarray:

@@ -33,7 +33,7 @@ from ...core.audio import AudioBuffer
 from ...ops.resample import resample
 from ...ops.wola import chunk_batch, num_chunks, wola_stitch
 from .ldm_unet import LDMUNet, LDMUNetConfig
-from .mel import HOP, N_MELS, SAMPLE_RATE, log_mel
+from .mel import HOP, N_MELS, SAMPLE_RATE, log_mel, mel_envelope_match
 from .unet import StudentUNet, UNetConfig
 from .vae import MelVAE, VAEConfig
 from .vocoder import VocoderConfig, build_vocoder
@@ -56,6 +56,15 @@ class FlashSRConfig:
     vocoder: VocoderConfig = VocoderConfig()
     crossover_hz: float = 11000.0   # low-band preservation crossover
     noise_seed: int = 0             # deterministic one-step noise latent
+    # re-impose the predicted mel envelope on the vocoder output's STFT
+    # magnitude (mel.mel_envelope_match) before the crossover merge:
+    # False, True (per-band gain match), or "replace" (smooth envelope
+    # magnitude + vocoder phase)
+    envelope_match: object = False
+    # detect the input's real bandwidth per item and lower the merge
+    # point to it (_crossover_merge_adaptive); False = fixed-frequency
+    # FIR crossover at crossover_hz even when the input is narrower
+    adaptive_crossover: bool = True
 
 
 class FlashSRModules:
@@ -133,6 +142,54 @@ def _crossover_merge(low_src: jnp.ndarray, high_src: jnp.ndarray,
     return lo + hi
 
 
+def _crossover_merge_adaptive(low_src: jnp.ndarray, high_src: jnp.ndarray,
+                              sr: int, max_hz: float,
+                              n_fft: int = 2048, hop: int = 512,
+                              floor_db: float = 50.0) -> jnp.ndarray:
+    """Bandwidth-adaptive crossover: low band from ``low_src`` up to
+    ``min(measured input bandwidth, max_hz)``, high band from
+    ``high_src`` — merged in the STFT domain with a smooth per-bin mask.
+
+    The fixed-frequency merge has a failure mode the round-3 LSD
+    diagnosis exposed: when the input's real bandwidth is BELOW the
+    crossover (e.g. an 8 kHz-wide recording vs the 11 kHz default), the
+    band between them is taken from the input — which has nothing
+    there — silently deleting the model's reconstruction (94.9% of the
+    LSD mass on a 6 kHz-cutoff eval draw sat in that hole).  Detecting
+    the input's spectral edge per batch item (highest bin within
+    ``floor_db`` of the per-item peak band energy, 5-bin smoothed)
+    closes the hole; for full-bandwidth inputs the mask equals the
+    fixed behavior.  The cutoff is a traced per-item scalar — the mask
+    is a sigmoid over the static bin axis, and analysis/synthesis are
+    the dense-matmul STFT ops (no native FFT, no scatters).
+    """
+    from ...ops.stft import istft_dense, stft_conv
+
+    t = low_src.shape[-1]
+    pad = n_fft // 2
+    padw = [(0, 0)] * (low_src.ndim - 1) + [(pad, pad)]
+    rl, il = stft_conv(jnp.pad(low_src, padw, mode="reflect"), n_fft, hop)
+    rh, ih = stft_conv(jnp.pad(high_src, padw, mode="reflect"), n_fft, hop)
+
+    e = jnp.mean(rl * rl + il * il, axis=-2)          # [..., bins]
+    # 5-bin smoothing with EDGE padding — a wrap-around (roll) would
+    # leak DC energy into the bins at Nyquist and pin the detected
+    # edge at full band for every input
+    ep = jnp.pad(e, [(0, 0)] * (e.ndim - 1) + [(2, 2)], mode="edge")
+    e = sum(ep[..., s: s + e.shape[-1]] for s in range(5)) / 5.0
+    loge = 10.0 * jnp.log10(e + 1e-20)
+    ref = jnp.max(loge, axis=-1, keepdims=True)
+    nbins = n_fft // 2 + 1
+    bins = jnp.arange(nbins, dtype=jnp.float32)
+    active = loge > ref - floor_db
+    edge = jnp.max(jnp.where(active, bins, 0.0), axis=-1, keepdims=True)
+    cut = jnp.minimum(edge - 2.0, max_hz / (sr / n_fft))
+    w = jax.nn.sigmoid((cut - bins) / 4.0)[..., None, :]   # [..., 1, bins]
+    y = istft_dense(rl * w + rh * (1.0 - w), il * w + ih * (1.0 - w),
+                    n_fft, hop)
+    return y[..., pad: pad + t]
+
+
 class FlashSRPipeline:
     """Jitted chunk-forward + host-side orchestration (runner analog)."""
 
@@ -171,8 +228,18 @@ class FlashSRPipeline:
         else:
             wav = self.modules.vocoder.apply(params["sr_vocoder"], mel_hr)
         wav = wav[:, :CHUNK_SAMPLES]
+        if cfg.envelope_match:
+            # project the vocoder output back onto the (near-exact)
+            # predicted mel envelope — the mel->waveform stage owns the
+            # pipeline's residual LSD (see mel.mel_envelope_match)
+            wav = mel_envelope_match(wav, mel_hr,
+                                     replace=cfg.envelope_match == "replace")
         # re-impose the observed low band (see module docstring)
-        return _crossover_merge(x, wav, REQ_SR, cfg.crossover_hz).astype(jnp.float32)
+        if cfg.adaptive_crossover:
+            out = _crossover_merge_adaptive(x, wav, REQ_SR, cfg.crossover_hz)
+        else:
+            out = _crossover_merge(x, wav, REQ_SR, cfg.crossover_hz)
+        return out.astype(jnp.float32)
 
     @functools.cached_property
     def _jit_forward(self):

@@ -54,12 +54,15 @@ def test_distilled_weights_improve_lsd():
     lsd_pt, lsd_md = float(rep_pt["lsd_mean_db"]), float(rep_md["lsd_mean_db"])
     sisdr_md = float(rep_md["si_sdr_db"])
     # ABSOLUTE bars (VERDICT r2 #2): the shipped trio measures LSD
-    # 7.6 dB / SI-SDR +8.6 dB on THIS pair (LSD is content-dependent —
-    # other draws read 13-23 dB; see pretrained.json) — gate at 12 dB /
-    # -2 dB so any "plausible-energy-in-the-high-band" regression fails
-    assert lsd_md < 12.0, f"absolute LSD {lsd_md:.2f} dB >= 12 dB gate"
+    # 5.2 dB / SI-SDR +8.8 dB on THIS pair, and 5.1-5.9 dB across the
+    # evaluate() seeds (see pretrained.json) after the adaptive
+    # crossover closed the [input-cutoff, 11 kHz] deletion hole and
+    # envelope_match="replace" projected the vocoder magnitude onto
+    # the predicted mel envelope — gate at 7 dB / +4 dB so any
+    # regression in either postproc stage or the weights fails
+    assert lsd_md < 7.0, f"absolute LSD {lsd_md:.2f} dB >= 7 dB gate"
     assert lsd_md < lsd_pt - 20.0, (lsd_md, lsd_pt)
-    assert sisdr_md > -2.0, f"SI-SDR {sisdr_md:.2f} dB below -2 dB guard"
+    assert sisdr_md > 4.0, f"SI-SDR {sisdr_md:.2f} dB below +4 dB guard"
 
 
 def test_distill_resume_requires_weights(tmp_path):

@@ -45,6 +45,42 @@ def test_flashsr_ldm_unet_pipeline_forward():
     assert bool(jnp.all(jnp.isfinite(y)))
 
 
+def test_mel_envelope_match_identity_and_gain():
+    """mel_envelope_match must be ~identity when the waveform already
+    matches the target envelope, and recover amplitude when it doesn't
+    (the zero-training LSD lever — see mel.py docstring)."""
+    from egregora_tpu.models.flashsr.mel import log_mel, mel_envelope_match
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray((rng.standard_normal((1, 48000)) * 0.1).astype(np.float32))
+    tgt = log_mel(x)
+    y = mel_envelope_match(x, tgt)
+    assert y.shape == x.shape
+    rel = float(jnp.sqrt(jnp.mean((y - x) ** 2) / jnp.mean(x ** 2)))
+    assert rel < 0.05, rel
+    # halved input matched to the full-level envelope recovers ~4x energy
+    y2 = mel_envelope_match(x * 0.5, tgt)
+    ratio = float(jnp.mean(y2 ** 2) / jnp.mean((x * 0.5) ** 2))
+    assert 3.0 < ratio < 5.0, ratio
+
+
+def test_flashsr_envelope_match_flag(tiny_pipe):
+    """envelope_match=True runs through chunk_forward and changes the
+    high band (the low band is re-imposed by the crossover either way)."""
+    import dataclasses as dc
+
+    cfg = dc.replace(tiny_pipe.cfg, envelope_match=True)
+    pipe = FlashSRPipeline(cfg, params=tiny_pipe.params)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray((rng.standard_normal((1, CHUNK_SAMPLES)) * 0.05)
+                    .astype(np.float32))
+    y_on = pipe._jit_forward(pipe.params, x, lowpass_input=False)
+    y_off = tiny_pipe._jit_forward(tiny_pipe.params, x, lowpass_input=False)
+    assert y_on.shape == y_off.shape == (1, CHUNK_SAMPLES)
+    assert bool(jnp.all(jnp.isfinite(y_on)))
+    assert not np.allclose(np.asarray(y_on), np.asarray(y_off))
+
+
 def test_flashsr_constants_match_reference():
     # egregora_audio_super_resolution.py:255-258, 401
     assert CHUNK_SAMPLES == 245760
@@ -59,12 +95,19 @@ def test_flashsr_chunk_forward_shape(tiny_pipe):
 
 
 def test_flashsr_preserves_low_band(tiny_pipe):
-    """Crossover merge keeps the observed low band bit-accurately-ish."""
+    """Fixed-frequency crossover merge keeps the observed low band
+    bit-accurately-ish (adaptive_crossover=False pins the round-2
+    semantics; the adaptive default lowers the merge point to the
+    measured input bandwidth — covered by the hole-fill test below)."""
+    import dataclasses as dc
+
     sr = 48000
     t = np.arange(CHUNK_SAMPLES) / sr
     x = (0.4 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)[None]
-    y = np.asarray(tiny_pipe._jit_forward(tiny_pipe.params, jnp.asarray(x),
-                                          lowpass_input=False))
+    pipe = FlashSRPipeline(dc.replace(tiny_pipe.cfg, adaptive_crossover=False),
+                           params=tiny_pipe.params)
+    y = np.asarray(pipe._jit_forward(pipe.params, jnp.asarray(x),
+                                     lowpass_input=False))
     # below crossover (11 kHz) the output must be the input tone
     xs = np.fft.rfft(x[0])
     ys = np.fft.rfft(y[0])
@@ -72,6 +115,32 @@ def test_flashsr_preserves_low_band(tiny_pipe):
     low = freqs < 10000
     err = np.abs(xs[low] - ys[low]).max() / np.abs(xs).max()
     assert err < 1e-3
+
+
+def test_flashsr_adaptive_crossover_fills_hole(tiny_pipe):
+    """The adaptive merge must (a) keep the observed band below the
+    input's real spectral edge and (b) hand the band between that edge
+    and crossover_hz to the model instead of deleting it — the fixed
+    merge filled [input-cutoff, 11 kHz] with the input's silence, which
+    was 94.9% of the LSD mass on a 6 kHz-cutoff eval draw."""
+    sr = 48000
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(CHUNK_SAMPLES) * 0.1).astype(np.float32)
+    spec = np.fft.rfft(x)
+    freqs = np.fft.rfftfreq(CHUNK_SAMPLES, 1 / sr)
+    spec[freqs > 9000] = 0.0                      # brick wall at 9 kHz
+    x = np.fft.irfft(spec, n=CHUNK_SAMPLES).astype(np.float32)[None]
+    assert tiny_pipe.cfg.adaptive_crossover      # the default
+    y = np.asarray(tiny_pipe._jit_forward(tiny_pipe.params, jnp.asarray(x),
+                                          lowpass_input=False))
+    xs, ys = np.fft.rfft(x[0]), np.fft.rfft(y[0])
+    low = freqs < 8000
+    err = np.abs(xs[low] - ys[low]).max() / np.abs(xs).max()
+    assert err < 1e-2, err                        # observed band kept
+    hole = (freqs > 9500) & (freqs < 10800)
+    e_in = float(np.mean(np.abs(xs[hole]) ** 2))
+    e_out = float(np.mean(np.abs(ys[hole]) ** 2))
+    assert e_out > 10.0 * max(e_in, 1e-12), (e_in, e_out)
 
 
 def test_flashsr_process_end_to_end(tiny_pipe):
