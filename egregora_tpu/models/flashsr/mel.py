@@ -140,13 +140,26 @@ def mel_envelope_match(wav: jnp.ndarray, log_mel_tgt: jnp.ndarray,
     from ...ops.stft import istft_dense, stft_conv
 
     t = wav.shape[-1]
-    mel_frames, n_mels = log_mel_tgt.shape[-2:]
     pad = n_fft // 2
     xp = jnp.pad(wav, [(0, 0)] * (wav.ndim - 1) + [(pad, pad)], mode="reflect")
     re, im = stft_conv(xp, n_fft, hop, window="hann_periodic")
+    gain = envelope_gain(re, im, log_mel_tgt, sr=sr, n_fft=n_fft, hop=hop,
+                         max_log_gain=max_log_gain, replace=replace)
+    y = istft_dense(re * gain, im * gain, n_fft, hop)
+    return y[..., pad: pad + t]
+
+
+def envelope_gain(re: jnp.ndarray, im: jnp.ndarray, log_mel_tgt: jnp.ndarray,
+                  sr: int = SAMPLE_RATE, n_fft: int = N_FFT, hop: int = 512,
+                  max_log_gain: float = 2.5,
+                  replace: bool = False) -> jnp.ndarray:
+    """Per-bin magnitude gain ``[..., frames, n_fft//2+1]`` projecting
+    an STFT onto a predicted log-mel envelope (the math of
+    ``mel_envelope_match``, exposed on the spectrum so the pipeline can
+    fuse it with the crossover merge in one analysis/synthesis pass)."""
+    mel_frames, n_mels = log_mel_tgt.shape[-2:]
     mag = jnp.sqrt(re * re + im * im + 1e-20)
-    fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
-    cur = jnp.log(jnp.clip(mag @ fb, 1e-5, None))     # [..., Fc, mels]
+    fb_np = mel_filterbank(sr, n_fft, n_mels)
     ti = jnp.asarray(_frame_interp(re.shape[-2], hop, mel_frames, HOP))
     tgt = jnp.einsum("fj,...jm->...fm", ti, log_mel_tgt)
     unmix = jnp.asarray(_mel_unmix(sr, n_fft, n_mels))
@@ -155,18 +168,15 @@ def mel_envelope_match(wav: jnp.ndarray, log_mel_tgt: jnp.ndarray,
         # each band by its weight-sum gives the flat-within-band
         # per-bin amplitude the band implies, then unmix interpolates
         # the log-envelope across bins (vocoder phase kept)
-        fb_np = mel_filterbank(sr, n_fft, n_mels)
         s1 = np.maximum(fb_np.sum(axis=0), 1e-10)       # [mels]
         env_log = (tgt - jnp.asarray(np.log(s1, dtype=np.float32))) @ unmix
         dlog_bin = jnp.clip(env_log - jnp.log(jnp.clip(mag, 1e-5, None)),
                             -max_log_gain, max_log_gain)
         covered = jnp.asarray(fb_np.sum(axis=1) > 0)    # [bins]
-        gain = jnp.where(covered, jnp.exp(dlog_bin), 1.0)
-    else:
-        dlog = jnp.clip(tgt - cur, -max_log_gain, max_log_gain)
-        gain = jnp.exp(dlog @ unmix)
-    y = istft_dense(re * gain, im * gain, n_fft, hop)
-    return y[..., pad: pad + t]
+        return jnp.where(covered, jnp.exp(dlog_bin), 1.0)
+    cur = jnp.log(jnp.clip(mag @ jnp.asarray(fb_np), 1e-5, None))
+    dlog = jnp.clip(tgt - cur, -max_log_gain, max_log_gain)
+    return jnp.exp(dlog @ unmix)
 
 
 @functools.partial(jax.jit, static_argnames=("sr", "n_fft", "hop", "n_mels"))

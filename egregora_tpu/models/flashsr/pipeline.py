@@ -33,7 +33,8 @@ from ...core.audio import AudioBuffer
 from ...ops.resample import resample
 from ...ops.wola import chunk_batch, num_chunks, wola_stitch
 from .ldm_unet import LDMUNet, LDMUNetConfig
-from .mel import HOP, N_MELS, SAMPLE_RATE, log_mel, mel_envelope_match
+from .mel import (HOP, N_MELS, SAMPLE_RATE, envelope_gain, log_mel,
+                  mel_envelope_match)
 from .unet import StudentUNet, UNetConfig
 from .vae import MelVAE, VAEConfig
 from .vocoder import VocoderConfig, build_vocoder
@@ -170,7 +171,16 @@ def _crossover_merge_adaptive(low_src: jnp.ndarray, high_src: jnp.ndarray,
     padw = [(0, 0)] * (low_src.ndim - 1) + [(pad, pad)]
     rl, il = stft_conv(jnp.pad(low_src, padw, mode="reflect"), n_fft, hop)
     rh, ih = stft_conv(jnp.pad(high_src, padw, mode="reflect"), n_fft, hop)
+    w = _bandwidth_mask(rl, il, sr, max_hz, n_fft, floor_db)
+    y = istft_dense(rl * w + rh * (1.0 - w), il * w + ih * (1.0 - w),
+                    n_fft, hop)
+    return y[..., pad: pad + t]
 
+
+def _bandwidth_mask(rl: jnp.ndarray, il: jnp.ndarray, sr: int, max_hz: float,
+                    n_fft: int, floor_db: float = 50.0) -> jnp.ndarray:
+    """Per-item low-band weight ``[..., 1, bins]`` for the adaptive
+    merge: sigmoid rolloff at min(detected spectral edge, max_hz)."""
     e = jnp.mean(rl * rl + il * il, axis=-2)          # [..., bins]
     # 5-bin smoothing with EDGE padding — a wrap-around (roll) would
     # leak DC energy into the bins at Nyquist and pin the detected
@@ -184,10 +194,7 @@ def _crossover_merge_adaptive(low_src: jnp.ndarray, high_src: jnp.ndarray,
     active = loge > ref - floor_db
     edge = jnp.max(jnp.where(active, bins, 0.0), axis=-1, keepdims=True)
     cut = jnp.minimum(edge - 2.0, max_hz / (sr / n_fft))
-    w = jax.nn.sigmoid((cut - bins) / 4.0)[..., None, :]   # [..., 1, bins]
-    y = istft_dense(rl * w + rh * (1.0 - w), il * w + ih * (1.0 - w),
-                    n_fft, hop)
-    return y[..., pad: pad + t]
+    return jax.nn.sigmoid((cut - bins) / 4.0)[..., None, :]
 
 
 class FlashSRPipeline:
@@ -228,18 +235,41 @@ class FlashSRPipeline:
         else:
             wav = self.modules.vocoder.apply(params["sr_vocoder"], mel_hr)
         wav = wav[:, :CHUNK_SAMPLES]
+        return self._postprocess(x, wav, mel_hr).astype(jnp.float32)
+
+    def _postprocess(self, x: jnp.ndarray, wav: jnp.ndarray,
+                     mel_hr: jnp.ndarray) -> jnp.ndarray:
+        """Envelope projection + low-band crossover merge.
+
+        With the adaptive merge both stages share ONE analysis/
+        synthesis pass: projecting the vocoder band onto the predicted
+        mel envelope (mel.envelope_gain — the mel->waveform stage owns
+        the pipeline's residual LSD) is a per-bin gain on the same
+        spectrum the bandwidth mask blends, so running them separately
+        would just pay an extra STFT + iSTFT + OLA round trip."""
+        from ...ops.stft import istft_dense, stft_conv
+
+        cfg = self.cfg
+        if not cfg.adaptive_crossover:
+            if cfg.envelope_match:
+                wav = mel_envelope_match(wav, mel_hr,
+                                         replace=cfg.envelope_match == "replace")
+            return _crossover_merge(x, wav, REQ_SR, cfg.crossover_hz)
+
+        n_fft, hop = 2048, 512
+        t = x.shape[-1]
+        pad = n_fft // 2
+        padw = [(0, 0)] * (x.ndim - 1) + [(pad, pad)]
+        rl, il = stft_conv(jnp.pad(x, padw, mode="reflect"), n_fft, hop)
+        rh, ih = stft_conv(jnp.pad(wav, padw, mode="reflect"), n_fft, hop)
         if cfg.envelope_match:
-            # project the vocoder output back onto the (near-exact)
-            # predicted mel envelope — the mel->waveform stage owns the
-            # pipeline's residual LSD (see mel.mel_envelope_match)
-            wav = mel_envelope_match(wav, mel_hr,
-                                     replace=cfg.envelope_match == "replace")
-        # re-impose the observed low band (see module docstring)
-        if cfg.adaptive_crossover:
-            out = _crossover_merge_adaptive(x, wav, REQ_SR, cfg.crossover_hz)
-        else:
-            out = _crossover_merge(x, wav, REQ_SR, cfg.crossover_hz)
-        return out.astype(jnp.float32)
+            g = envelope_gain(rh, ih, mel_hr, sr=REQ_SR, n_fft=n_fft, hop=hop,
+                              replace=cfg.envelope_match == "replace")
+            rh, ih = rh * g, ih * g
+        w = _bandwidth_mask(rl, il, REQ_SR, cfg.crossover_hz, n_fft)
+        y = istft_dense(rl * w + rh * (1.0 - w), il * w + ih * (1.0 - w),
+                        n_fft, hop)
+        return y[..., pad: pad + t]
 
     @functools.cached_property
     def _jit_forward(self):

@@ -62,6 +62,12 @@ def test_mel_envelope_match_identity_and_gain():
     y2 = mel_envelope_match(x * 0.5, tgt)
     ratio = float(jnp.mean(y2 ** 2) / jnp.mean((x * 0.5) ** 2))
     assert 3.0 < ratio < 5.0, ratio
+    # the real contract, both modes: the output's mel comes back to the
+    # target (replace mode reproduces band sums exactly by construction)
+    for replace in (False, True):
+        yr = mel_envelope_match(x * 0.5, tgt, replace=replace)
+        err = float(jnp.mean(jnp.abs(log_mel(yr) - tgt)))
+        assert err < 0.25, (replace, err)
 
 
 def test_flashsr_envelope_match_flag(tiny_pipe):
