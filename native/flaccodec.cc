@@ -8,8 +8,11 @@
 // subframes, RICE + RICE2 partitioned residuals with escape codes,
 // wasted bits, left-side / right-side / mid-side decorrelation, all
 // standard block size / sample rate / sample size codes.
-// Encoder: 4096-sample frames, independent channels, best-of fixed
-// predictors (orders 0-4), single-partition rice residuals, 16-bit.
+// Encoder: 4096-sample frames, independent channels, best-of
+// CONSTANT / fixed predictors (orders 0-4) / order-8 LPC
+// (Hann-windowed autocorrelation, Levinson-Durbin, precision-15
+// quantization with error feedback) chosen by exact rice bit cost,
+// single-partition rice residuals, 16-bit.
 //
 // C API (ctypes; see egregora_tpu/utils/native.py):
 //   fc_read(path, &data, &channels, &frames, &sr)    -> 0 on success
@@ -19,6 +22,7 @@
 // Format reference: the public FLAC format specification
 // (datatracker RFC 9639 / xiph format docs).
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -410,13 +414,54 @@ int fc_write(const char* path, const float* data, int channels, long frames,
     for (int c = 0; c < channels; ++c) {
       const float* src = data + (size_t)c * frames + start;
       for (int i = 0; i < bs; ++i) {
-        float v = src[i];
-        if (v > 1.0f) v = 1.0f;
-        if (v < -1.0f) v = -1.0f;
-        int s = (int)(v * 32767.0f + (v >= 0 ? 0.5f : -0.5f));
-        blk[i] = s;
+        // libsndfile convention, symmetric with fc_read's 1/32768:
+        // roundtrip through our own reader is then exact
+        long s = std::lround((double)src[i] * 32768.0);
+        if (s > 32767) s = 32767;
+        if (s < -32768) s = -32768;
+        blk[i] = (int32_t)s;
       }
-      // pick the fixed order (0-4) with the smallest |residual| sum
+      // ---- candidate: CONSTANT (one value for the whole block)
+      bool allsame = true;
+      for (int i = 1; i < bs && allsame; ++i) allsame = blk[i] == blk[0];
+      if (allsame) {
+        bw.put_bit(0);                        // subframe pad
+        bw.put_bits(0, 6);                    // CONSTANT
+        bw.put_bit(0);                        // no wasted bits
+        bw.put_bits((uint32_t)(blk[0] & 0xFFFF), bps);
+        continue;
+      }
+
+      // exact single-partition rice bit count (param from mean |r|)
+      auto rice_cost = [&](const std::vector<int64_t>& r, int from,
+                           int* param_out) -> uint64_t {
+        uint64_t asum = 0;
+        for (int i = from; i < bs; ++i)
+          asum += (uint64_t)(r[i] < 0 ? -r[i] : r[i]);
+        uint64_t mean = bs > from ? asum / (uint64_t)(bs - from) : 0;
+        int param = 0;
+        while (param < 14 && (1ull << param) < mean + 1) ++param;
+        uint64_t bits = 0;
+        for (int i = from; i < bs; ++i) {
+          uint64_t u = (uint64_t)((r[i] << 1) ^ (r[i] >> 63));
+          bits += (u >> param) + 1 + (uint64_t)param;
+        }
+        *param_out = param;
+        return bits;
+      };
+      auto emit_rice = [&](const std::vector<int64_t>& r, int from,
+                           int param) {
+        bw.put_bits(0, 2);                    // rice method 0 (4-bit)
+        bw.put_bits(0, 4);                    // partition order 0
+        bw.put_bits((uint32_t)param, 4);
+        for (int i = from; i < bs; ++i) {
+          uint64_t u = (uint64_t)((r[i] << 1) ^ (r[i] >> 63));
+          bw.put_unary((uint32_t)(u >> param));
+          bw.put_bits(u, param);
+        }
+      };
+
+      // ---- candidate: fixed order (0-4) with the smallest |residual| sum
       int max_order = bs > 4 ? 4 : 0;
       uint64_t best_cost = ~0ull;
       int best = 0;
@@ -442,24 +487,97 @@ int fc_write(const char* path, const float* data, int channels, long frames,
         if (cost < best_cost) { best_cost = cost; best = o; }
       }
       int o = best;
-      // rice parameter from mean residual magnitude
-      uint64_t mean = bs > o ? best_cost / (uint64_t)(bs - o) : 0;
-      int param = 0;
-      while (param < 14 && (1ull << param) < mean + 1) ++param;
+      int fparam = 0;
+      uint64_t fixed_bits = rice_cost(res[o], o, &fparam)
+                            + (uint64_t)o * (uint64_t)bps;
+
+      // ---- candidate: order-8 LPC (Levinson-Durbin on Hann-windowed
+      // autocorrelation; coefficients quantized to precision 15 with
+      // error feedback — the libsndfile-class subframe the decoder
+      // already speaks, worth ~1.3-2x on tonal content vs fixed)
+      enum { LORD = 8, LPREC = 15 };
+      std::vector<int64_t> lres;
+      int32_t qc[LORD] = {0};
+      int lshift = 0, lord = 0, lparam = 0;
+      uint64_t lpc_bits = ~0ull;
+      if (bs > 2 * LORD) {
+        std::vector<double> wx(bs);
+        for (int i = 0; i < bs; ++i) {
+          double w = 0.5 - 0.5 * std::cos(2.0 * M_PI * i / (bs - 1));
+          wx[i] = (double)blk[i] * w;
+        }
+        double ac[LORD + 1];
+        for (int lag = 0; lag <= LORD; ++lag) {
+          double s = 0.0;
+          for (int i = lag; i < bs; ++i) s += wx[i] * wx[i - lag];
+          ac[lag] = s;
+        }
+        double a[LORD + 1] = {0}, tmp[LORD + 1] = {0}, e = ac[0];
+        int ord = 0;
+        if (e > 0.0) {
+          for (int m = 1; m <= LORD; ++m) {
+            double k = ac[m];
+            for (int j = 1; j < m; ++j) k -= a[j] * ac[m - j];
+            k /= e;
+            if (!(k > -1.0 && k < 1.0)) break;   // also rejects NaN
+            for (int j = 1; j < m; ++j) tmp[j] = a[j] - k * a[m - j];
+            for (int j = 1; j < m; ++j) a[j] = tmp[j];
+            a[m] = k;
+            e *= 1.0 - k * k;
+            ord = m;
+            if (e <= 0.0) break;
+          }
+        }
+        double cmax = 0.0;
+        for (int j = 1; j <= ord; ++j)
+          if (std::fabs(a[j]) > cmax) cmax = std::fabs(a[j]);
+        if (ord >= 1 && cmax > 0.0) {
+          int shift = LPREC - 2 - (int)std::floor(std::log2(cmax));
+          if (shift > 15) shift = 15;
+          if (shift >= 0) {
+            double qerr = 0.0;
+            for (int j = 0; j < ord; ++j) {
+              double v = a[j + 1] * (double)(1 << shift) + qerr;
+              long q = std::lround(v);
+              if (q > 16383) q = 16383;
+              if (q < -16384) q = -16384;
+              qerr = v - (double)q;
+              qc[j] = (int32_t)q;
+            }
+            lres.assign(bs, 0);
+            for (int i = ord; i < bs; ++i) {
+              int64_t acc = 0;
+              for (int j = 0; j < ord; ++j)
+                acc += (int64_t)qc[j] * blk[i - 1 - j];
+              lres[i] = (int64_t)blk[i] - (acc >> shift);
+            }
+            lpc_bits = rice_cost(lres, ord, &lparam)
+                       + (uint64_t)ord * (uint64_t)(bps + LPREC) + 4 + 5;
+            lord = ord;
+            lshift = shift;
+          }
+        }
+      }
+
+      if (lord >= 1 && lpc_bits < fixed_bits) {
+        bw.put_bit(0);                        // subframe pad
+        bw.put_bits(0x20 | (uint32_t)(lord - 1), 6);   // LPC, order
+        bw.put_bit(0);                        // no wasted bits
+        for (int i = 0; i < lord; ++i)
+          bw.put_bits((uint32_t)(blk[i] & 0xFFFF), bps);
+        bw.put_bits(LPREC - 1, 4);
+        bw.put_bits((uint32_t)(lshift & 0x1F), 5);
+        for (int i = 0; i < lord; ++i)
+          bw.put_bits((uint32_t)(qc[i] & 0x7FFF), LPREC);
+        emit_rice(lres, lord, lparam);
+        continue;
+      }
 
       bw.put_bit(0);                          // subframe pad
       bw.put_bits(0x08 | (uint32_t)o, 6);     // FIXED, order o
       bw.put_bit(0);                          // no wasted bits
       for (int i = 0; i < o; ++i) bw.put_bits((uint32_t)(blk[i] & 0xFFFF), bps);
-      bw.put_bits(0, 2);                      // rice method 0 (4-bit)
-      bw.put_bits(0, 4);                      // partition order 0
-      bw.put_bits((uint32_t)param, 4);
-      for (int i = o; i < bs; ++i) {
-        int64_t v = res[o][i];
-        uint64_t u = (uint64_t)((v << 1) ^ (v >> 63));
-        bw.put_unary((uint32_t)(u >> param));
-        bw.put_bits(u, param);
-      }
+      emit_rice(res[o], o, fparam);
     }
     bw.align();
     uint16_t c16 = crc16(bw.out.data(), bw.out.size());

@@ -194,10 +194,13 @@ int wc_write(const char* path, const float* data, int channels, long frames,
       int16_t* b = reinterpret_cast<int16_t*>(buf.data());
       for (long i = 0; i < n; ++i)
         for (int c = 0; c < channels; ++c) {
-          float v = data[(long)c * frames + start + i];
-          if (v > 1.0f) v = 1.0f;
-          if (v < -1.0f) v = -1.0f;
-          b[i * channels + c] = (int16_t)std::lround(v * 32767.0f);
+          // libsndfile convention, symmetric with the reader's
+          // 1/32768: roundtrip through our own reader is exact
+          long s = std::lround((double)data[(long)c * frames + start + i]
+                               * 32768.0);
+          if (s > 32767) s = 32767;
+          if (s < -32768) s = -32768;
+          b[i * channels + c] = (int16_t)s;
         }
     } else {
       float* b = reinterpret_cast<float*>(buf.data());

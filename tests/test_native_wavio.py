@@ -108,6 +108,34 @@ def test_native_flac_roundtrip(tmp_path):
     assert np.abs(y - x).max() < 1e-3        # 16-bit quantization bound
 
 
+def test_native_flac_lpc_exact_and_compresses(tmp_path):
+    """The order-8 LPC subframe path: tonal content must (a) decode
+    BIT-EXACTLY (flac is lossless at the int16 level; reference
+    convention is lround(x*32768) clamped, symmetric with the reader's
+    1/32768) and (b) compress far below what fixed predictors reach
+    (~0.17 vs ~0.5 on a two-tone)."""
+    import numpy as np
+    from egregora_tpu.utils.native import read_flac, write_flac
+
+    t = np.arange(48000 * 2) / 48000.0
+    x = (0.5 * np.sin(2 * np.pi * 441.3 * t)
+         + 0.2 * np.sin(2 * np.pi * 927.7 * t)).astype(np.float32)[None]
+    p = tmp_path / "tonal.flac"
+    write_flac(str(p), x, 48000)
+    assert p.stat().st_size < 0.25 * x.size * 2   # LPC-level compression
+    y, sr = read_flac(str(p))
+    v = x.astype(np.float64) * 32768.0
+    q = np.clip(np.trunc(v + np.copysign(0.5, v)), -32768, 32767) / 32768
+    assert np.array_equal(y, q.astype(np.float32))
+    # constant subframes: silence is near-free and exact
+    z = np.zeros((1, 48000), np.float32)
+    pz = tmp_path / "zero.flac"
+    write_flac(str(pz), z, 48000)
+    assert pz.stat().st_size < 2000
+    yz, _ = read_flac(str(pz))
+    assert np.array_equal(yz, z)
+
+
 def test_native_flac_mono_and_short(tmp_path):
     import numpy as np
     from egregora_tpu.utils.native import read_flac, write_flac
