@@ -12,7 +12,7 @@
 // CONSTANT / fixed predictors (orders 0-4) / order-8 LPC
 // (Hann-windowed autocorrelation, Levinson-Durbin, precision-15
 // quantization with error feedback) chosen by exact rice bit cost,
-// single-partition rice residuals, 16-bit.
+// partitioned rice residuals (order 0-6, per-partition params), 16-bit.
 //
 // C API (ctypes; see egregora_tpu/utils/native.py):
 //   fc_read(path, &data, &channels, &frames, &sr)    -> 0 on success
@@ -432,32 +432,67 @@ int fc_write(const char* path, const float* data, int channels, long frames,
         continue;
       }
 
-      // exact single-partition rice bit count (param from mean |r|)
-      auto rice_cost = [&](const std::vector<int64_t>& r, int from,
+      // partitioned rice coding: per-partition parameters from each
+      // partition's mean |r|, partition order chosen by exact bit
+      // count (the decoder already speaks partitions; per-partition
+      // params save several % on non-stationary residuals)
+      struct RicePlan {
+        int po = 0;
+        uint64_t bits = ~0ull;               // residual bits incl. params
+        int params[64];
+      };
+      auto exact_bits = [](const std::vector<int64_t>& r, int a, int b,
                            int* param_out) -> uint64_t {
         uint64_t asum = 0;
-        for (int i = from; i < bs; ++i)
+        for (int i = a; i < b; ++i)
           asum += (uint64_t)(r[i] < 0 ? -r[i] : r[i]);
-        uint64_t mean = bs > from ? asum / (uint64_t)(bs - from) : 0;
+        uint64_t mean = b > a ? asum / (uint64_t)(b - a) : 0;
         int param = 0;
         while (param < 14 && (1ull << param) < mean + 1) ++param;
         uint64_t bits = 0;
-        for (int i = from; i < bs; ++i) {
+        for (int i = a; i < b; ++i) {
           uint64_t u = (uint64_t)((r[i] << 1) ^ (r[i] >> 63));
           bits += (u >> param) + 1 + (uint64_t)param;
         }
         *param_out = param;
         return bits;
       };
-      auto emit_rice = [&](const std::vector<int64_t>& r, int from,
-                           int param) {
+      auto plan_rice = [&](const std::vector<int64_t>& r,
+                           int pred_order) -> RicePlan {
+        RicePlan best;
+        int max_po = 0;
+        while (max_po < 6 && bs % (1 << (max_po + 1)) == 0
+               && (bs >> (max_po + 1)) > pred_order) ++max_po;
+        for (int po = 0; po <= max_po; ++po) {
+          int psize = bs >> po;
+          uint64_t total = 0;
+          int params[64];
+          for (int p = 0; p < (1 << po); ++p) {
+            int a = p == 0 ? pred_order : p * psize;
+            total += 4 + exact_bits(r, a, (p + 1) * psize, &params[p]);
+          }
+          if (total < best.bits) {
+            best.po = po;
+            best.bits = total;
+            memcpy(best.params, params, sizeof(params));
+          }
+        }
+        return best;
+      };
+      auto emit_rice = [&](const std::vector<int64_t>& r, int pred_order,
+                           const RicePlan& plan) {
         bw.put_bits(0, 2);                    // rice method 0 (4-bit)
-        bw.put_bits(0, 4);                    // partition order 0
-        bw.put_bits((uint32_t)param, 4);
-        for (int i = from; i < bs; ++i) {
-          uint64_t u = (uint64_t)((r[i] << 1) ^ (r[i] >> 63));
-          bw.put_unary((uint32_t)(u >> param));
-          bw.put_bits(u, param);
+        bw.put_bits((uint32_t)plan.po, 4);
+        int psize = bs >> plan.po;
+        for (int p = 0; p < (1 << plan.po); ++p) {
+          int param = plan.params[p];
+          bw.put_bits((uint32_t)param, 4);
+          int a = p == 0 ? pred_order : p * psize;
+          for (int i = a; i < (p + 1) * psize; ++i) {
+            uint64_t u = (uint64_t)((r[i] << 1) ^ (r[i] >> 63));
+            bw.put_unary((uint32_t)(u >> param));
+            bw.put_bits(u, param);
+          }
         }
       };
 
@@ -487,9 +522,8 @@ int fc_write(const char* path, const float* data, int channels, long frames,
         if (cost < best_cost) { best_cost = cost; best = o; }
       }
       int o = best;
-      int fparam = 0;
-      uint64_t fixed_bits = rice_cost(res[o], o, &fparam)
-                            + (uint64_t)o * (uint64_t)bps;
+      RicePlan fplan = plan_rice(res[o], o);
+      uint64_t fixed_bits = fplan.bits + (uint64_t)o * (uint64_t)bps;
 
       // ---- candidate: order-8 LPC (Levinson-Durbin on Hann-windowed
       // autocorrelation; coefficients quantized to precision 15 with
@@ -498,7 +532,8 @@ int fc_write(const char* path, const float* data, int channels, long frames,
       enum { LORD = 8, LPREC = 15 };
       std::vector<int64_t> lres;
       int32_t qc[LORD] = {0};
-      int lshift = 0, lord = 0, lparam = 0;
+      int lshift = 0, lord = 0;
+      RicePlan lplan;
       uint64_t lpc_bits = ~0ull;
       if (bs > 2 * LORD) {
         std::vector<double> wx(bs);
@@ -551,7 +586,8 @@ int fc_write(const char* path, const float* data, int channels, long frames,
                 acc += (int64_t)qc[j] * blk[i - 1 - j];
               lres[i] = (int64_t)blk[i] - (acc >> shift);
             }
-            lpc_bits = rice_cost(lres, ord, &lparam)
+            lplan = plan_rice(lres, ord);
+            lpc_bits = lplan.bits
                        + (uint64_t)ord * (uint64_t)(bps + LPREC) + 4 + 5;
             lord = ord;
             lshift = shift;
@@ -569,7 +605,7 @@ int fc_write(const char* path, const float* data, int channels, long frames,
         bw.put_bits((uint32_t)(lshift & 0x1F), 5);
         for (int i = 0; i < lord; ++i)
           bw.put_bits((uint32_t)(qc[i] & 0x7FFF), LPREC);
-        emit_rice(lres, lord, lparam);
+        emit_rice(lres, lord, lplan);
         continue;
       }
 
@@ -577,7 +613,7 @@ int fc_write(const char* path, const float* data, int channels, long frames,
       bw.put_bits(0x08 | (uint32_t)o, 6);     // FIXED, order o
       bw.put_bit(0);                          // no wasted bits
       for (int i = 0; i < o; ++i) bw.put_bits((uint32_t)(blk[i] & 0xFFFF), bps);
-      emit_rice(res[o], o, fparam);
+      emit_rice(res[o], o, fplan);
     }
     bw.align();
     uint16_t c16 = crc16(bw.out.data(), bw.out.size());
