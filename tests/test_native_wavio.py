@@ -136,6 +136,46 @@ def test_native_flac_lpc_exact_and_compresses(tmp_path):
     assert np.array_equal(yz, z)
 
 
+def test_native_flac_stereo_decorrelation_exact(tmp_path):
+    """Stereo frames price all four channel assignments (independent /
+    left-side / right-side / mid-side) and must stay bit-exact through
+    every reconstruction path; correlated channels must compress
+    better than independent coding of the same content."""
+    import numpy as np
+    from egregora_tpu.utils.native import read_flac, write_flac
+
+    rng = np.random.default_rng(5)
+    t = np.arange(48000 * 2) / 48000.0
+    base = 0.4 * np.sin(2 * np.pi * 220.7 * t) + 0.03 * rng.standard_normal(len(t))
+
+    def q(x):
+        v = x.astype(np.float64) * 32768.0
+        return (np.clip(np.trunc(v + np.copysign(0.5, v)), -32768, 32767)
+                / 32768).astype(np.float32)
+
+    cases = {
+        "corr": np.stack([base, base + 0.005 * rng.standard_normal(len(t))]),
+        "panned": np.stack([base, 0.01 * rng.standard_normal(len(t))]),
+        "indep": rng.standard_normal((2, len(t))) * 0.3,
+    }
+    sizes = {}
+    for name, x in cases.items():
+        x = x.clip(-1, 1).astype(np.float32)
+        p = tmp_path / f"{name}.flac"
+        write_flac(str(p), x, 48000)
+        y, sr = read_flac(str(p))
+        assert sr == 48000
+        assert np.array_equal(y, q(x)), name
+        sizes[name] = p.stat().st_size
+    # the near-duplicate channel pair must beat independent coding
+    # (2x the mono cost); the saving is bounded by the side channel's
+    # own noise entropy, not zero, so assert < 1.9x
+    pm = tmp_path / "mono.flac"
+    write_flac(str(pm), cases["corr"][:1].clip(-1, 1).astype(np.float32),
+               48000)
+    assert sizes["corr"] < 1.9 * pm.stat().st_size
+
+
 def test_native_flac_mono_and_short(tmp_path):
     import numpy as np
     from egregora_tpu.utils.native import read_flac, write_flac
