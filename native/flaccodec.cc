@@ -408,6 +408,13 @@ void plan_subframe(const int32_t* blk, int bs, int bps, SubPlan& sp) {
     sp.rp = lplan;
     sp.bits = lpc_bits;
   }
+  // safety net: pathological residual statistics can make rice coding
+  // exceed raw storage — fall back to VERBATIM (the spec's escape)
+  uint64_t raw_bits = 8 + (uint64_t)bs * (uint64_t)bps;
+  if (sp.bits > raw_bits) {
+    sp.kind = 3;
+    sp.bits = raw_bits;
+  }
 }
 
 void emit_rice(BitWriter& bw, const std::vector<int64_t>& r, int bs,
@@ -434,6 +441,13 @@ void emit_subframe(BitWriter& bw, const int32_t* blk, int bs, int bps,
     bw.put_bits(0, 6);
     bw.put_bit(0);                      // no wasted bits
     bw.put_bits((uint64_t)(uint32_t)blk[0], bps);
+    return;
+  }
+  if (sp.kind == 3) {                   // VERBATIM
+    bw.put_bits(1, 6);
+    bw.put_bit(0);                      // no wasted bits
+    for (int i = 0; i < bs; ++i)
+      bw.put_bits((uint64_t)(uint32_t)blk[i], bps);
     return;
   }
   if (sp.kind == 2) {                   // LPC
