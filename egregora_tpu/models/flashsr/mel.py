@@ -80,6 +80,16 @@ def mel_filterbank(sr: int = SAMPLE_RATE, n_fft: int = N_FFT, n_mels: int = N_ME
 
 
 @functools.lru_cache(maxsize=8)
+def mel_band_peaks(sr: int = SAMPLE_RATE, n_fft: int = N_FFT,
+                   n_mels: int = N_MELS, fmin: float = FMIN,
+                   fmax: float = FMAX) -> np.ndarray:
+    """``[n_mels]`` triangle-peak frequencies (Hz) of the filterbank."""
+    mel_pts = np.linspace(_hz_to_mel(np.array(fmin)), _hz_to_mel(np.array(fmax)),
+                          n_mels + 2)
+    return _mel_to_hz(mel_pts)[1: n_mels + 1].astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
 def _mel_unmix(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
     """``[n_mels, n_fft//2+1]`` bin-interpolation weights: column-
     normalized filterbank transpose, so a per-mel-band log-gain maps to

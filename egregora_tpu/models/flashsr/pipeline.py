@@ -177,6 +177,38 @@ def _crossover_merge_adaptive(low_src: jnp.ndarray, high_src: jnp.ndarray,
     return y[..., pad: pad + t]
 
 
+def _bandwidth_mask_vs_pred(rl: jnp.ndarray, il: jnp.ndarray,
+                            log_mel_pred: jnp.ndarray, sr: int,
+                            max_hz: float, n_fft: int,
+                            delta: float = 2.0) -> jnp.ndarray:
+    """Low-band weight ``[..., 1, bins]`` referenced against the
+    model's own predicted mel envelope: trust the input up to the
+    highest mel band whose observed level reaches the prediction
+    (within ``delta`` nats), never above ``max_hz``.
+
+    Self-calibrating per frequency, unlike the peak-relative threshold
+    of ``_bandwidth_mask``: a global ``ref - 50 dB`` rule overshoots by
+    1-4 kHz on the STFT leakage skirt of brick-limited input (deleting
+    the model's reconstruction there — the exact bug this merge exists
+    to fix) and undershoots on passbands that slope tens of dB below
+    the spectrum's peak.  If the prediction is garbage the comparison
+    degrades toward "everything active" = the fixed crossover."""
+    from .mel import mel_band_peaks, mel_filterbank
+
+    n_mels = log_mel_pred.shape[-1]
+    mag = jnp.sqrt(rl * rl + il * il + 1e-20)
+    fb = jnp.asarray(mel_filterbank(sr, n_fft, n_mels))
+    in_band = jnp.log(jnp.clip(mag @ fb, 1e-5, None)).mean(axis=-2)
+    pred_band = log_mel_pred.mean(axis=-2)             # [..., mels]
+    active = in_band > pred_band - delta
+    peaks = jnp.asarray(mel_band_peaks(sr, n_fft, n_mels))
+    edge_hz = jnp.max(jnp.where(active, peaks, 0.0), axis=-1, keepdims=True)
+    cut = jnp.minimum(edge_hz, max_hz) / (sr / n_fft)
+    nbins = n_fft // 2 + 1
+    bins = jnp.arange(nbins, dtype=jnp.float32)
+    return jax.nn.sigmoid((cut - bins) / 4.0)[..., None, :]
+
+
 def _bandwidth_mask(rl: jnp.ndarray, il: jnp.ndarray, sr: int, max_hz: float,
                     n_fft: int, floor_db: float = 50.0) -> jnp.ndarray:
     """Per-item low-band weight ``[..., 1, bins]`` for the adaptive
@@ -266,7 +298,8 @@ class FlashSRPipeline:
             g = envelope_gain(rh, ih, mel_hr, sr=REQ_SR, n_fft=n_fft, hop=hop,
                               replace=cfg.envelope_match == "replace")
             rh, ih = rh * g, ih * g
-        w = _bandwidth_mask(rl, il, REQ_SR, cfg.crossover_hz, n_fft)
+        w = _bandwidth_mask_vs_pred(rl, il, mel_hr, REQ_SR,
+                                    cfg.crossover_hz, n_fft)
         y = istft_dense(rl * w + rh * (1.0 - w), il * w + ih * (1.0 - w),
                         n_fft, hop)
         return y[..., pad: pad + t]

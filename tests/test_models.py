@@ -87,6 +87,43 @@ def test_flashsr_envelope_match_flag(tiny_pipe):
     assert not np.allclose(np.asarray(y_on), np.asarray(y_off))
 
 
+def test_bandwidth_mask_tracks_cutoff():
+    """The pred-referenced edge detector must localize even a
+    BRICK-WALL input cutoff (whose STFT leakage skirt defeats a global
+    peak-relative threshold by 1-4 kHz) across the synth draw range,
+    and cap at crossover_hz for full-band input.  The prediction here
+    is the truth mel — the UNet's job; its accuracy is gated by the
+    distilled-weights tests."""
+    from egregora_tpu.models.flashsr.mel import log_mel
+    from egregora_tpu.models.flashsr.pipeline import _bandwidth_mask_vs_pred
+    from egregora_tpu.ops.stft import stft_conv
+
+    sr, n_fft = 48000, 2048
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(sr) * 0.1).astype(np.float32)
+    mel_true = log_mel(jnp.asarray(x)[None])
+
+    def mask_mid(xs):
+        pad = n_fft // 2
+        xp = jnp.pad(jnp.asarray(xs, jnp.float32)[None], ((0, 0), (pad, pad)),
+                     mode="reflect")
+        rl, il = stft_conv(xp, n_fft, 512)
+        w = np.asarray(_bandwidth_mask_vs_pred(rl, il, mel_true, sr,
+                                               11000.0, n_fft))[0, 0]
+        return np.interp(0.5, w[::-1], np.arange(len(w))[::-1]) * (sr / n_fft)
+
+    for cut_hz in (5000, 6500, 8000, 10000):
+        spec = np.fft.rfft(x)
+        f = np.fft.rfftfreq(len(x), 1 / sr)
+        xs = np.fft.irfft(np.where(f <= cut_hz, spec, 0), n=len(x))
+        mid = mask_mid(xs)
+        # overshoot deletes model content; allow generous undershoot
+        assert cut_hz - 800 < mid < cut_hz + 350, (cut_hz, mid)
+    # full-band noise: mask midpoint pinned at the crossover cap
+    mid = mask_mid(x)
+    assert abs(mid - 11000.0) < 350, mid
+
+
 def test_flashsr_constants_match_reference():
     # egregora_audio_super_resolution.py:255-258, 401
     assert CHUNK_SAMPLES == 245760
@@ -128,17 +165,28 @@ def test_flashsr_adaptive_crossover_fills_hole(tiny_pipe):
     input's real spectral edge and (b) hand the band between that edge
     and crossover_hz to the model instead of deleting it — the fixed
     merge filled [input-cutoff, 11 kHz] with the input's silence, which
-    was 94.9% of the LSD mass on a 6 kHz-cutoff eval draw."""
+    was 94.9% of the LSD mass on a 6 kHz-cutoff eval draw.
+
+    Drives _postprocess directly with the truth mel as the prediction
+    (tiny_pipe's random weights predict garbage mel, which correctly
+    degrades the pred-referenced detector toward the fixed merge; the
+    shipped weights' prediction accuracy is gated in
+    test_flashsr_distilled.py)."""
+    from egregora_tpu.models.flashsr.mel import log_mel
+    from egregora_tpu.models.flashsr.pipeline import MEL_FRAMES
+
     sr = 48000
     rng = np.random.default_rng(3)
-    x = (rng.standard_normal(CHUNK_SAMPLES) * 0.1).astype(np.float32)
-    spec = np.fft.rfft(x)
+    full = (rng.standard_normal(CHUNK_SAMPLES) * 0.1).astype(np.float32)
     freqs = np.fft.rfftfreq(CHUNK_SAMPLES, 1 / sr)
-    spec[freqs > 9000] = 0.0                      # brick wall at 9 kHz
-    x = np.fft.irfft(spec, n=CHUNK_SAMPLES).astype(np.float32)[None]
+    spec = np.fft.rfft(full)
+    x = np.fft.irfft(np.where(freqs <= 9000, spec, 0),
+                     n=CHUNK_SAMPLES).astype(np.float32)[None]
+    wav = (rng.standard_normal((1, CHUNK_SAMPLES)) * 0.1).astype(np.float32)
+    mel_pred = log_mel(jnp.asarray(full)[None])[:, :MEL_FRAMES, :]
     assert tiny_pipe.cfg.adaptive_crossover      # the default
-    y = np.asarray(tiny_pipe._jit_forward(tiny_pipe.params, jnp.asarray(x),
-                                          lowpass_input=False))
+    y = np.asarray(tiny_pipe._postprocess(jnp.asarray(x), jnp.asarray(wav),
+                                          mel_pred))
     xs, ys = np.fft.rfft(x[0]), np.fft.rfft(y[0])
     low = freqs < 8000
     err = np.abs(xs[low] - ys[low]).max() / np.abs(xs).max()
@@ -147,6 +195,10 @@ def test_flashsr_adaptive_crossover_fills_hole(tiny_pipe):
     e_in = float(np.mean(np.abs(xs[hole]) ** 2))
     e_out = float(np.mean(np.abs(ys[hole]) ** 2))
     assert e_out > 10.0 * max(e_in, 1e-12), (e_in, e_out)
+    # above crossover_hz the model band passes through regardless
+    hi = freqs > 11500
+    assert float(np.mean(np.abs(ys[hi]) ** 2)) > 10.0 * max(
+        float(np.mean(np.abs(xs[hi]) ** 2)), 1e-12)
 
 
 def test_flashsr_process_end_to_end(tiny_pipe):
