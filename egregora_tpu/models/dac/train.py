@@ -445,6 +445,92 @@ def finetune(model_type: str = "44khz", steps: int = 6000, batch: int = 8,
     return model, params
 
 
+GATE_KEYS = (1234, 99, 7, 42)
+
+
+def make_gate_eval(model: DACModel):
+    """ONE jitted program computing the shipped-weight gate metrics:
+    per-draw roundtrip SNR + mean LSD over the four content keys the
+    quality gate in tests/test_dac_distilled.py averages (an eager
+    per-key encode/decode loop would be 8 relay dispatches + transfers).
+    Matches ``roundtrip_snr_db`` semantics (SNR over the whole [3, sr]
+    draw) and the test's per-item ``lsd_mean_db`` average."""
+    from ...eval.metrics import lsd_sisdr_report
+    from ..flashsr.distill import synth_pair_batch
+
+    cfg = model.cfg
+    sr = cfg.sample_rate
+    pad = (-sr) % cfg.hop
+
+    @jax.jit
+    def ev(params):
+        snrs, lsds = [], []
+        for k in GATE_KEYS:
+            _, hr = synth_pair_batch(jax.random.PRNGKey(k), 3, sr, sr=sr)
+            x = jnp.pad(hr, ((0, 0), (0, pad)))
+            z = model.encoder.apply(params["encoder"], x[..., None])
+            z_q, _ = model.rvq.apply(params["rvq"], z)
+            rec = model.decoder.apply(params["decoder"], z_q)[:, :sr]
+            err = jnp.mean(jnp.square(rec - hr))
+            sig = jnp.mean(jnp.square(hr)) + 1e-12
+            snrs.append(10.0 * jnp.log10(sig / (err + 1e-12)))
+            lsds.append(jnp.mean(jnp.stack(
+                [lsd_sisdr_report(hr[i], rec[i])["lsd_mean_db"]
+                 for i in range(hr.shape[0])])))
+        return jnp.stack(snrs), jnp.stack(lsds)
+
+    return ev
+
+
+def gate_metrics(model: DACModel, params) -> dict:
+    snrs, lsds = (np.asarray(a) for a in make_gate_eval(model)(params))
+    return {"mean_snr": float(snrs.mean()), "worst_snr": float(snrs.min()),
+            "mean_lsd": float(lsds.mean()),
+            "snrs": [round(float(s), 2) for s in snrs]}
+
+
+def should_ship(before: dict, after: dict) -> bool:
+    """Ship criterion for guarded fine-tunes: the combined gate score
+    (mean + worst SNR) must improve, neither metric may fall near or
+    below its test gate (mean > 4.5, worst > 1.5 with margin), and the
+    LSD must stay clear of its 9.5 dB bar."""
+    better = (after["mean_snr"] + after["worst_snr"]
+              > before["mean_snr"] + before["worst_snr"])
+    safe = (after["worst_snr"] > max(1.8, before["worst_snr"] - 0.3)
+            and after["mean_snr"] > max(4.8, before["mean_snr"] - 0.3)
+            and after["mean_lsd"] < 9.0)
+    return better and safe
+
+
+def guarded_finetune(model_type: str, steps: int, batch: int, length: int,
+                     lr: float, seed: int, scan_size: int) -> bool:
+    """Fine-tune the shipped codec and ship ONLY on gate improvement:
+    the official four-draw gate (mean + worst-draw SNR) must not regress.
+    A run that polishes the mean while sinking the worst draw — or the
+    reverse — leaves the shipped npz untouched (the .ckpt.npz sibling
+    keeps the candidate for inspection).  Returns True if shipped."""
+    shipped = load_pretrained(model_type)
+    if shipped is None:
+        raise FileNotFoundError(f"no shipped weights for {model_type}")
+    cfg, params0 = shipped
+    model = DACModel(cfg)
+    before = gate_metrics(model, params0)
+    print(f"[dac-guarded:{model_type}] BEFORE gate: {before}", flush=True)
+    model, params = finetune(model_type=model_type, steps=steps, batch=batch,
+                             length=length, lr=lr, seed=seed,
+                             scan_size=scan_size)
+    after = gate_metrics(model, params)
+    print(f"[dac-guarded:{model_type}] AFTER  gate: {after}", flush=True)
+    if should_ship(before, after):
+        save_pretrained(params, PRETRAINED[model_type], cfg=model.cfg)
+        print(f"[dac-guarded:{model_type}] SHIPPED -> "
+              f"{PRETRAINED[model_type]}", flush=True)
+        return True
+    print(f"[dac-guarded:{model_type}] NOT shipped; candidate stays in "
+          "the .ckpt.npz sibling", flush=True)
+    return False
+
+
 def save_pretrained(params, path: Path, cfg: DACConfig = None) -> None:
     """Weights + the geometry that trained them (self-describing npz:
     geometry changes to ``distilled_config`` can't silently misload an
@@ -519,10 +605,18 @@ if __name__ == "__main__":
     ap.add_argument("--finetune", action="store_true",
                     help="continue the VQ phase from the shipped codec "
                          "(pair with a lower --lr)")
+    ap.add_argument("--guarded", action="store_true",
+                    help="fine-tune and ship ONLY if the four-draw gate "
+                         "(mean+worst SNR) improves")
     a = ap.parse_args()
     if a.cpu:
         jax.config.update("jax_platforms", "cpu")
     print("devices:", jax.devices(), flush=True)
+    if a.guarded:
+        import sys
+        shipped = guarded_finetune(a.model_type, a.steps, a.batch, a.length,
+                                   a.lr, a.seed, a.scan)
+        sys.exit(0 if shipped else 3)
     if a.finetune:
         model, params = finetune(model_type=a.model_type, steps=a.steps,
                                  batch=a.batch, length=a.length, lr=a.lr,

@@ -91,6 +91,29 @@ def test_build_dac_uses_shipped_weights(tmp_path, monkeypatch):
     dacm._CACHE.clear()
 
 
+def test_guarded_finetune_ship_criterion():
+    """should_ship: improvement in the combined gate score ships, any
+    near-gate regression (worst-draw sinking, LSD creeping toward its
+    bar) does not — the guard that keeps background fine-tune runs from
+    silently degrading shipped weights."""
+    from egregora_tpu.models.dac.train import should_ship
+    base = {"mean_snr": 5.3, "worst_snr": 2.1, "mean_lsd": 8.0}
+
+    def after(**kw):
+        return {**base, **kw}
+
+    assert should_ship(base, after(mean_snr=6.0, worst_snr=2.5))
+    # combined score must improve
+    assert not should_ship(base, after(mean_snr=5.2, worst_snr=2.0))
+    # a big mean win cannot buy a worst-draw collapse
+    assert not should_ship(base, after(mean_snr=9.0, worst_snr=1.7))
+    # LSD near its 9.5 bar blocks shipping even with SNR wins
+    assert not should_ship(base, after(mean_snr=6.0, worst_snr=2.5,
+                                       mean_lsd=9.2))
+    # gate-eval and test-gate agree on metric names
+    assert set(base) <= {"mean_snr", "worst_snr", "mean_lsd", "snrs"}
+
+
 def test_dac_codes_contract():
     """codes [C, n_q, T/hop] int; decode(z_q) reconstructs finite audio
     at the same length contract the nodes rely on."""
