@@ -63,8 +63,9 @@ class FlashSRConfig:
     # magnitude + vocoder phase)
     envelope_match: object = False
     # detect the input's real bandwidth per item and lower the merge
-    # point to it (_crossover_merge_adaptive); False = fixed-frequency
-    # FIR crossover at crossover_hz even when the input is narrower
+    # point to it (_bandwidth_mask_vs_pred in _postprocess); False =
+    # fixed-frequency FIR crossover at crossover_hz even when the
+    # input is narrower
     adaptive_crossover: bool = True
 
 
@@ -143,40 +144,6 @@ def _crossover_merge(low_src: jnp.ndarray, high_src: jnp.ndarray,
     return lo + hi
 
 
-def _crossover_merge_adaptive(low_src: jnp.ndarray, high_src: jnp.ndarray,
-                              sr: int, max_hz: float,
-                              n_fft: int = 2048, hop: int = 512,
-                              floor_db: float = 50.0) -> jnp.ndarray:
-    """Bandwidth-adaptive crossover: low band from ``low_src`` up to
-    ``min(measured input bandwidth, max_hz)``, high band from
-    ``high_src`` — merged in the STFT domain with a smooth per-bin mask.
-
-    The fixed-frequency merge has a failure mode the round-3 LSD
-    diagnosis exposed: when the input's real bandwidth is BELOW the
-    crossover (e.g. an 8 kHz-wide recording vs the 11 kHz default), the
-    band between them is taken from the input — which has nothing
-    there — silently deleting the model's reconstruction (94.9% of the
-    LSD mass on a 6 kHz-cutoff eval draw sat in that hole).  Detecting
-    the input's spectral edge per batch item (highest bin within
-    ``floor_db`` of the per-item peak band energy, 5-bin smoothed)
-    closes the hole; for full-bandwidth inputs the mask equals the
-    fixed behavior.  The cutoff is a traced per-item scalar — the mask
-    is a sigmoid over the static bin axis, and analysis/synthesis are
-    the dense-matmul STFT ops (no native FFT, no scatters).
-    """
-    from ...ops.stft import istft_dense, stft_conv
-
-    t = low_src.shape[-1]
-    pad = n_fft // 2
-    padw = [(0, 0)] * (low_src.ndim - 1) + [(pad, pad)]
-    rl, il = stft_conv(jnp.pad(low_src, padw, mode="reflect"), n_fft, hop)
-    rh, ih = stft_conv(jnp.pad(high_src, padw, mode="reflect"), n_fft, hop)
-    w = _bandwidth_mask(rl, il, sr, max_hz, n_fft, floor_db)
-    y = istft_dense(rl * w + rh * (1.0 - w), il * w + ih * (1.0 - w),
-                    n_fft, hop)
-    return y[..., pad: pad + t]
-
-
 def _bandwidth_mask_vs_pred(rl: jnp.ndarray, il: jnp.ndarray,
                             log_mel_pred: jnp.ndarray, sr: int,
                             max_hz: float, n_fft: int,
@@ -186,13 +153,15 @@ def _bandwidth_mask_vs_pred(rl: jnp.ndarray, il: jnp.ndarray,
     highest mel band whose observed level reaches the prediction
     (within ``delta`` nats), never above ``max_hz``.
 
-    Self-calibrating per frequency, unlike the peak-relative threshold
-    of ``_bandwidth_mask``: a global ``ref - 50 dB`` rule overshoots by
-    1-4 kHz on the STFT leakage skirt of brick-limited input (deleting
-    the model's reconstruction there — the exact bug this merge exists
-    to fix) and undershoots on passbands that slope tens of dB below
-    the spectrum's peak.  If the prediction is garbage the comparison
-    degrades toward "everything active" = the fixed crossover."""
+    Self-calibrating per frequency, unlike a peak-relative threshold
+    (an earlier ``ref - 50 dB`` rule overshot by 1-4 kHz on the STFT
+    leakage skirt of brick-limited input — deleting the model's
+    reconstruction there, the exact bug this merge exists to fix — and
+    undershot on passbands that slope tens of dB below the spectrum's
+    peak).  Degradation is bounded both ways: a garbage-quiet
+    prediction makes everything active = the fixed crossover, and a
+    uniformly hot prediction (nothing active) falls back to ``max_hz``
+    rather than deleting the observed low band."""
     from .mel import mel_band_peaks, mel_filterbank
 
     n_mels = log_mel_pred.shape[-1]
@@ -203,29 +172,14 @@ def _bandwidth_mask_vs_pred(rl: jnp.ndarray, il: jnp.ndarray,
     active = in_band > pred_band - delta
     peaks = jnp.asarray(mel_band_peaks(sr, n_fft, n_mels))
     edge_hz = jnp.max(jnp.where(active, peaks, 0.0), axis=-1, keepdims=True)
+    # OOD guard (review finding): an input sitting > delta below the
+    # prediction in EVERY band would give edge 0 -> w ~= 0, deleting
+    # the real observed low band; fall back to the fixed crossover
+    edge_hz = jnp.where(jnp.any(active, axis=-1, keepdims=True),
+                        edge_hz, max_hz)
     cut = jnp.minimum(edge_hz, max_hz) / (sr / n_fft)
     nbins = n_fft // 2 + 1
     bins = jnp.arange(nbins, dtype=jnp.float32)
-    return jax.nn.sigmoid((cut - bins) / 4.0)[..., None, :]
-
-
-def _bandwidth_mask(rl: jnp.ndarray, il: jnp.ndarray, sr: int, max_hz: float,
-                    n_fft: int, floor_db: float = 50.0) -> jnp.ndarray:
-    """Per-item low-band weight ``[..., 1, bins]`` for the adaptive
-    merge: sigmoid rolloff at min(detected spectral edge, max_hz)."""
-    e = jnp.mean(rl * rl + il * il, axis=-2)          # [..., bins]
-    # 5-bin smoothing with EDGE padding — a wrap-around (roll) would
-    # leak DC energy into the bins at Nyquist and pin the detected
-    # edge at full band for every input
-    ep = jnp.pad(e, [(0, 0)] * (e.ndim - 1) + [(2, 2)], mode="edge")
-    e = sum(ep[..., s: s + e.shape[-1]] for s in range(5)) / 5.0
-    loge = 10.0 * jnp.log10(e + 1e-20)
-    ref = jnp.max(loge, axis=-1, keepdims=True)
-    nbins = n_fft // 2 + 1
-    bins = jnp.arange(nbins, dtype=jnp.float32)
-    active = loge > ref - floor_db
-    edge = jnp.max(jnp.where(active, bins, 0.0), axis=-1, keepdims=True)
-    cut = jnp.minimum(edge - 2.0, max_hz / (sr / n_fft))
     return jax.nn.sigmoid((cut - bins) / 4.0)[..., None, :]
 
 

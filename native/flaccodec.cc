@@ -27,6 +27,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <exception>
 #include <string>
 #include <vector>
 
@@ -192,6 +193,7 @@ int decode_subframe(BitReader& br, int blocksize, int bps,
     for (int i = 0; i < blocksize; ++i) x[i] = br.read_signed(bps);
   } else if ((type & 0x38) == 0x08 && (type & 7) <= 4) {  // FIXED
     int order = (int)(type & 7);
+    if (order > blocksize) { err("flac: order > blocksize"); return -1; }
     for (int i = 0; i < order; ++i) x[i] = br.read_signed(bps);
     if (decode_residual(br, blocksize, order, x)) return -1;
     for (int i = order; i < blocksize; ++i) {
@@ -205,6 +207,7 @@ int decode_subframe(BitReader& br, int blocksize, int bps,
     }
   } else if (type & 0x20) {                  // LPC
     int order = (int)(type & 0x1F) + 1;
+    if (order > blocksize) { err("flac: order > blocksize"); return -1; }
     for (int i = 0; i < order; ++i) x[i] = br.read_signed(bps);
     int prec = (int)br.read_bits(4) + 1;
     if (prec == 16) { err("flac: bad lpc precision"); return -1; }
@@ -344,8 +347,11 @@ void plan_subframe(const int32_t* blk, int bs, int bps, SubPlan& sp) {
   // ---- candidate: order-8 LPC (Levinson-Durbin on Hann-windowed
   // autocorrelation; coefficients quantized to precision 15 with
   // error feedback — the libsndfile-class subframe the decoder
-  // already speaks, worth ~1.3-2x on tonal content vs fixed)
-  if (bs <= 2 * kLpcOrder) return;
+  // already speaks, worth ~1.3-2x on tonal content vs fixed).
+  // do/while(0) so every skip path still reaches the VERBATIM bound
+  // below — an early return here silently voided it (review finding)
+  do {
+  if (bs <= 2 * kLpcOrder) break;
   std::vector<double> wx(bs);
   for (int i = 0; i < bs; ++i) {
     double w = 0.5 - 0.5 * std::cos(2.0 * M_PI * i / (bs - 1));
@@ -376,10 +382,10 @@ void plan_subframe(const int32_t* blk, int bs, int bps, SubPlan& sp) {
   double cmax = 0.0;
   for (int j = 1; j <= ord; ++j)
     if (std::fabs(a[j]) > cmax) cmax = std::fabs(a[j]);
-  if (ord < 1 || cmax <= 0.0) return;
+  if (ord < 1 || cmax <= 0.0) break;
   int shift = kLpcPrec - 2 - (int)std::floor(std::log2(cmax));
   if (shift > 15) shift = 15;
-  if (shift < 0) return;                 // negative shifts: skip
+  if (shift < 0) break;                  // negative shifts: skip
   int32_t qc[kLpcOrder];
   double qerr = 0.0;
   for (int j = 0; j < ord; ++j) {
@@ -408,6 +414,7 @@ void plan_subframe(const int32_t* blk, int bs, int bps, SubPlan& sp) {
     sp.rp = lplan;
     sp.bits = lpc_bits;
   }
+  } while (0);
   // safety net: pathological residual statistics can make rice coding
   // exceed raw storage — fall back to VERBATIM (the spec's escape)
   uint64_t raw_bits = 8 + (uint64_t)bs * (uint64_t)bps;
@@ -479,6 +486,9 @@ void fc_free(void* p) { free(p); }
 int fc_read(const char* path, float** data, int* channels, long* frames,
             int* sample_rate) {
   g_err.clear();
+  // exceptions (bad_alloc/length_error from vector growth on corrupt
+  // sizes) must not cross the C ABI into ctypes — std::terminate
+  try {
   FILE* f = fopen(path, "rb");
   if (!f) { err("flac: cannot open file"); return -1; }
   fseek(f, 0, SEEK_END);
@@ -505,6 +515,7 @@ int fc_read(const char* path, float** data, int* channels, long* frames,
     uint32_t blen = ((uint32_t)buf[pos + 1] << 16) | ((uint32_t)buf[pos + 2] << 8) |
                     buf[pos + 3];
     pos += 4;
+    if (blen > (size_t)sz - pos) { err("flac: truncated metadata"); return -1; }
     if (btype == 0 && blen >= 34) {
       const uint8_t* s = &buf[pos];
       sr = ((int)s[10] << 12) | ((int)s[11] << 4) | (s[12] >> 4);
@@ -519,7 +530,12 @@ int fc_read(const char* path, float** data, int* channels, long* frames,
   if (!have_info || sr <= 0 || nch <= 0) { err("flac: no STREAMINFO"); return -1; }
 
   std::vector<std::vector<float>> pcm(nch);
-  if (total) for (int c = 0; c < nch; ++c) pcm[c].reserve((size_t)total);
+  // reserve is an optimization only: clamp so a corrupt 36-bit total
+  // can't request hundreds of GB (the vectors still grow as needed)
+  if (total) {
+    size_t cap = total > (1ull << 24) ? (size_t)(1ull << 24) : (size_t)total;
+    for (int c = 0; c < nch; ++c) pcm[c].reserve(cap);
+  }
 
   BitReader br(buf.data(), (size_t)sz);
   br.byte = pos;
@@ -552,6 +568,7 @@ int fc_read(const char* path, float** data, int* channels, long* frames,
     br.read_bits(8);                                    // header CRC-8
     if (br.fail) { err("flac: truncated header"); return -1; }
 
+    if (ch_asgn > 10) { err("flac: reserved channel assignment"); return -1; }
     int fch = ch_asgn < 8 ? (int)ch_asgn + 1 : 2;
     if (fch != nch) { err("flac: channel count change"); return -1; }
 
@@ -596,6 +613,13 @@ int fc_read(const char* path, float** data, int* channels, long* frames,
   *frames = nf;
   *sample_rate = sr;
   return 0;
+  } catch (const std::exception& e) {
+    err(e.what());
+    return -1;
+  } catch (...) {
+    err("flac: native exception");
+    return -1;
+  }
 }
 
 // Encode planar float32 [channels][frames] to 16-bit FLAC.
@@ -607,7 +631,7 @@ int fc_write(const char* path, const float* data, int channels, long frames,
   }
   const int bps = 16;
   const int BS = 4096;
-
+  try {
   std::vector<uint8_t> file;
   file.insert(file.end(), {'f', 'L', 'a', 'C'});
   // STREAMINFO (last metadata block)
@@ -725,6 +749,13 @@ int fc_write(const char* path, const float* data, int channels, long frames,
   fclose(f);
   if (w != file.size()) { err("flac: short write"); return -1; }
   return 0;
+  } catch (const std::exception& e) {
+    err(e.what());
+    return -1;
+  } catch (...) {
+    err("flac: native exception");
+    return -1;
+  }
 }
 
 }  // extern "C"

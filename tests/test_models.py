@@ -124,6 +124,30 @@ def test_bandwidth_mask_tracks_cutoff():
     assert abs(mid - 11000.0) < 350, mid
 
 
+def test_bandwidth_mask_hot_prediction_keeps_low_band():
+    """OOD guard: a prediction uniformly HOTTER than the input (every
+    band > delta above it, so nothing reads as active) must fall back
+    to the fixed crossover — not return w ~= 0 and delete the real
+    observed low band (review finding)."""
+    from egregora_tpu.models.flashsr.mel import log_mel
+    from egregora_tpu.models.flashsr.pipeline import _bandwidth_mask_vs_pred
+    from egregora_tpu.ops.stft import stft_conv
+
+    sr, n_fft = 48000, 2048
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(sr) * 0.001).astype(np.float32)  # very quiet
+    # prediction from a LOUD version: ~60 dB above the input everywhere
+    mel_hot = log_mel(jnp.asarray(x * 1000.0)[None])
+    pad = n_fft // 2
+    xp = jnp.pad(jnp.asarray(x)[None], ((0, 0), (pad, pad)), mode="reflect")
+    rl, il = stft_conv(xp, n_fft, 512)
+    w = np.asarray(_bandwidth_mask_vs_pred(rl, il, mel_hot, sr,
+                                           11000.0, n_fft))[0, 0]
+    mid = np.interp(0.5, w[::-1], np.arange(len(w))[::-1]) * (sr / n_fft)
+    assert abs(mid - 11000.0) < 350, mid       # fixed-crossover fallback
+    assert w[: int(5000 / (sr / n_fft))].min() > 0.99  # low band preserved
+
+
 def test_flashsr_constants_match_reference():
     # egregora_audio_super_resolution.py:255-258, 401
     assert CHUNK_SAMPLES == 245760

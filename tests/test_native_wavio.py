@@ -185,3 +185,71 @@ def test_native_flac_mono_and_short(tmp_path):
     y, sr = read_flac(str(tmp_path / "m.flac"))
     assert sr == 16000 and y.shape == (1, 1000)
     assert np.abs(y - x).max() < 1e-3
+
+
+def test_native_flac_malformed_inputs_error_cleanly(tmp_path):
+    """Crafted corrupt FLAC files must raise RuntimeError, never crash:
+    (a) a metadata block whose declared length runs past EOF (was a
+    heap overread), (b) an LPC subframe whose order exceeds the frame
+    blocksize (was a heap overflow write into the sample vector)."""
+    import numpy as np
+    from egregora_tpu.utils.native import read_flac
+    import pytest
+
+    # (a) metadata block claims 100 bytes, file ends after 50
+    trunc = tmp_path / "trunc.flac"
+    trunc.write_bytes(b"fLaC" + bytes([0x80, 0, 0, 100]) + b"\x00" * 42)
+    with pytest.raises(RuntimeError):
+        read_flac(str(trunc))
+
+    # (b) valid STREAMINFO (48 kHz mono 16-bit), then a frame with
+    # blocksize 1 carrying an LPC subframe of order 32
+    info = bytearray(34)
+    info[0:2] = (4096).to_bytes(2, "big")      # min blocksize
+    info[2:4] = (4096).to_bytes(2, "big")      # max blocksize
+    info[10] = 48000 >> 12
+    info[11] = (48000 >> 4) & 0xFF
+    info[12] = ((48000 & 0xF) << 4) | (0 << 1) | 0   # nch=1, bps hi bit
+    info[13] = 0xF0                                   # bps=16, total hi=0
+    frame = bytes([
+        0xFF, 0xF8,        # sync + reserved + fixed blocking
+        0x60,              # bs_code=6 (8-bit blocksize follows), sr_code=0
+        0x00,              # ch_asgn=0 (mono), ss_code=0, reserved
+        0x00,              # UTF-8 frame number 0
+        0x00,              # blocksize-1 = 0 -> blocksize 1
+        0x00,              # header CRC-8 (unchecked)
+        0x7E,              # subframe: pad 0, type 0b111111 (LPC order 32)
+    ]) + b"\x00" * 8       # a few bytes of "warmup", then EOF
+    bad = tmp_path / "order.flac"
+    bad.write_bytes(b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(info) + frame)
+    with pytest.raises(RuntimeError, match="order|truncated|residual"):
+        read_flac(str(bad))
+
+    # (c) reserved channel-assignment code 11 is rejected, not decoded
+    # as independent stereo
+    frame_ca = bytes([0xFF, 0xF8, 0x60, 0xB0, 0x00, 0x00, 0x00]) + b"\x00" * 8
+    badca = tmp_path / "chasgn.flac"
+    badca.write_bytes(b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(info)
+                      + frame_ca)
+    with pytest.raises(RuntimeError, match="channel|reserved"):
+        read_flac(str(badca))
+
+
+def test_native_flac_tiny_noise_block_bounded(tmp_path):
+    """A tail block too short for the LPC candidate (<= 16 samples)
+    still takes the VERBATIM escape when rice coding would exceed raw
+    size — the early-return paths used to skip that bound."""
+    import numpy as np
+    from egregora_tpu.utils.native import read_flac, write_flac
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-1, 1, size=(1, 10)).astype(np.float32)
+    p = tmp_path / "tiny.flac"
+    write_flac(str(p), x, 48000)
+    # headers: 4 magic + 38 STREAMINFO + ~8 frame header/CRC; raw
+    # payload is 10*2 bytes + subframe header — anything near raw+headers
+    # passes; a rice blowup (~2x raw) fails
+    assert p.stat().st_size <= 4 + 38 + 16 + 24
+    y, sr = read_flac(str(p))
+    q = np.clip(np.round(x * 32768.0), -32768, 32767) / 32768.0
+    assert np.array_equal(y, q.astype(np.float32))
