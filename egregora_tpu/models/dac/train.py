@@ -502,6 +502,20 @@ def should_ship(before: dict, after: dict) -> bool:
     return better and safe
 
 
+def _guarded_ship(model_type: str, before: dict, model: DACModel,
+                  params) -> bool:
+    after = gate_metrics(model, params)
+    print(f"[dac-guarded:{model_type}] AFTER  gate: {after}", flush=True)
+    if should_ship(before, after):
+        save_pretrained(params, PRETRAINED[model_type], cfg=model.cfg)
+        print(f"[dac-guarded:{model_type}] SHIPPED -> "
+              f"{PRETRAINED[model_type]}", flush=True)
+        return True
+    print(f"[dac-guarded:{model_type}] NOT shipped; candidate stays in "
+          "the .ckpt.npz sibling", flush=True)
+    return False
+
+
 def guarded_finetune(model_type: str, steps: int, batch: int, length: int,
                      lr: float, seed: int, scan_size: int) -> bool:
     """Fine-tune the shipped codec and ship ONLY on gate improvement:
@@ -519,16 +533,43 @@ def guarded_finetune(model_type: str, steps: int, batch: int, length: int,
     model, params = finetune(model_type=model_type, steps=steps, batch=batch,
                              length=length, lr=lr, seed=seed,
                              scan_size=scan_size)
-    after = gate_metrics(model, params)
-    print(f"[dac-guarded:{model_type}] AFTER  gate: {after}", flush=True)
-    if should_ship(before, after):
+    return _guarded_ship(model_type, before, model, params)
+
+
+def guarded_retrain(model_type: str, steps: int, batch: int, length: int,
+                    lr: float, seed: int, scan_size: int, ae_frac: float,
+                    encoder_dim: int = 0, hop: int = 0) -> bool:
+    """Full from-scratch retrain at an (optionally) widened geometry,
+    shipped only on four-draw gate improvement over the current npz.
+
+    Motivation (round-3 continuation finding): on every model type the
+    shipped VQ roundtrip SNR ~= the AE-only ceiling — the quantizer is
+    NOT the binding constraint, the autoencoder is.  Fine-tuning the
+    RVQ therefore plateaus; the lever is AE capacity (``encoder_dim``)
+    and temporal resolution (``hop`` 64 via strides (2,4,4,2), the trade
+    that already lifted 16 kHz)."""
+    shipped = load_pretrained(model_type)
+    before = None
+    if shipped is not None:
+        before = gate_metrics(DACModel(shipped[0]), shipped[1])
+        print(f"[dac-guarded:{model_type}] BEFORE gate: {before}", flush=True)
+    cfg = distilled_config(model_type)
+    import dataclasses as _dc
+    if encoder_dim:
+        cfg = _dc.replace(cfg, encoder_dim=encoder_dim)
+    if hop:
+        strides = {64: (2, 4, 4, 2), 128: (2, 4, 4, 4)}[hop]
+        cfg = _dc.replace(cfg, strides=strides)
+    print(f"[dac-guarded:{model_type}] retrain geometry: "
+          f"encoder_dim={cfg.encoder_dim} strides={cfg.strides}", flush=True)
+    model, params = train(cfg=cfg, steps=steps, batch=batch, length=length,
+                          lr=lr, seed=seed, scan_size=scan_size,
+                          ae_frac=ae_frac, model_type=model_type)
+    if before is None:
         save_pretrained(params, PRETRAINED[model_type], cfg=model.cfg)
-        print(f"[dac-guarded:{model_type}] SHIPPED -> "
-              f"{PRETRAINED[model_type]}", flush=True)
+        print(f"[dac-guarded:{model_type}] SHIPPED (no incumbent)", flush=True)
         return True
-    print(f"[dac-guarded:{model_type}] NOT shipped; candidate stays in "
-          "the .ckpt.npz sibling", flush=True)
-    return False
+    return _guarded_ship(model_type, before, model, params)
 
 
 def save_pretrained(params, path: Path, cfg: DACConfig = None) -> None:
@@ -608,14 +649,26 @@ if __name__ == "__main__":
     ap.add_argument("--guarded", action="store_true",
                     help="fine-tune and ship ONLY if the four-draw gate "
                          "(mean+worst SNR) improves")
+    ap.add_argument("--retrain", action="store_true",
+                    help="with --guarded: full from-scratch retrain at the "
+                         "(optionally widened) geometry instead of fine-tune")
+    ap.add_argument("--encoder-dim", type=int, default=0,
+                    help="retrain geometry override (0 = keep default)")
+    ap.add_argument("--hop", type=int, default=0, choices=(0, 64, 128),
+                    help="retrain hop override via strides (0 = keep default)")
     a = ap.parse_args()
     if a.cpu:
         jax.config.update("jax_platforms", "cpu")
     print("devices:", jax.devices(), flush=True)
     if a.guarded:
         import sys
-        shipped = guarded_finetune(a.model_type, a.steps, a.batch, a.length,
-                                   a.lr, a.seed, a.scan)
+        if a.retrain:
+            shipped = guarded_retrain(a.model_type, a.steps, a.batch,
+                                      a.length, a.lr, a.seed, a.scan,
+                                      a.ae_frac, a.encoder_dim, a.hop)
+        else:
+            shipped = guarded_finetune(a.model_type, a.steps, a.batch,
+                                       a.length, a.lr, a.seed, a.scan)
         sys.exit(0 if shipped else 3)
     if a.finetune:
         model, params = finetune(model_type=a.model_type, steps=a.steps,
