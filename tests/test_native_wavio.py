@@ -253,3 +253,45 @@ def test_native_flac_tiny_noise_block_bounded(tmp_path):
     y, sr = read_flac(str(p))
     q = np.clip(np.round(x * 32768.0), -32768, 32767) / 32768.0
     assert np.array_equal(y, q.astype(np.float32))
+
+
+def test_native_flac_bytefuzz_never_crashes(tmp_path):
+    """Seeded byte-flip fuzz over a real encoded stream: every mutant
+    must either decode (possibly to garbage samples) or raise
+    RuntimeError through the ctypes error channel — never crash the
+    process or return out-of-range shapes.  Exercises the bounds added
+    for metadata length, subframe order, reserved channel assignments,
+    and rice-partition reads."""
+    from egregora_tpu.utils.native import read_flac, write_flac
+
+    rng = np.random.default_rng(2026)
+    x = np.clip(rng.standard_normal((2, 4000)).astype(np.float32) * 0.4,
+                -1, 1)
+    # mix in a tonal half so the encoder emits LPC + rice partitions,
+    # not just verbatim escapes
+    t = np.arange(4000) / 48000.0
+    x[0, :] = 0.5 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    p = tmp_path / "seed.flac"
+    write_flac(str(p), x, 48000)
+    blob = bytearray(p.read_bytes())
+
+    mut = tmp_path / "mut.flac"
+    for trial in range(150):
+        b = bytearray(blob)
+        for _ in range(int(rng.integers(1, 9))):
+            b[int(rng.integers(4, len(b)))] ^= int(rng.integers(1, 256))
+        mut.write_bytes(bytes(b))
+        try:
+            y, sr = read_flac(str(mut))
+        except RuntimeError:
+            continue
+        assert y.ndim == 2 and 1 <= y.shape[0] <= 8
+        assert y.shape[1] <= 8 * x.shape[1]
+
+    # truncation sweep: every prefix length must error or decode cleanly
+    for n in range(4, len(blob), max(1, len(blob) // 64)):
+        mut.write_bytes(bytes(blob[:n]))
+        try:
+            read_flac(str(mut))
+        except RuntimeError:
+            pass
