@@ -83,10 +83,39 @@ def to_cs(arr: ArrayLike, clamp_peak: bool = True) -> np.ndarray:
     return np.ascontiguousarray(a, dtype=np.float32)
 
 
+# -- pcm16 wire format -------------------------------------------------------
+# Host<->device audio transfers at 2 bytes/sample instead of 4: the
+# reference hands tensors across an in-process boundary for free
+# (``egregora_audio_super_resolution.py:388-431``), but this framework's
+# host edge is a PCIe/relay link where bytes are the cost.  16-bit PCM
+# quantization adds a -90 dBFS noise floor (1/32767 absolute error on
+# the [-1, 1] contract) — far below every model/DSP stage's own error.
+
+_PCM16_SCALE = 32767.0
+
+
+def pcm16_encode(x: ArrayLike) -> np.ndarray:
+    """float32 [-1, 1] -> int16 (clipping outside the PCM range)."""
+    a = np.asarray(_to_numpy(x), dtype=np.float32)
+    return np.rint(np.clip(a, -1.0, 1.0) * _PCM16_SCALE).astype(np.int16)
+
+
+def pcm16_decode(x: ArrayLike) -> np.ndarray:
+    """int16 -> float32 in [-1, 1] (inverse of ``pcm16_encode``)."""
+    return np.asarray(_to_numpy(x), dtype=np.float32) / _PCM16_SCALE
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class AudioBuffer:
-    """On-device audio: ``samples`` [C, S] float32 + static sample rate/meta."""
+    """On-device audio: ``samples`` [C, S] float32 + static sample rate/meta.
+
+    ``samples`` may also be (a) a host ``np.ndarray`` — coercion helpers
+    keep data host-side with ``device=False`` so the dispatch edge can
+    pick the transfer format, and jax ops transfer implicitly on first
+    use — or (b) an ``int16`` pcm16 wire array produced by a fused
+    device program; ``numpy()``/``to_comfy()`` dequantize transparently.
+    """
 
     samples: jnp.ndarray  # [C, S] float32
     sample_rate: int
@@ -127,7 +156,10 @@ class AudioBuffer:
         )
 
     def numpy(self) -> np.ndarray:
-        return np.asarray(self.samples)
+        a = np.asarray(self.samples)
+        if a.dtype == np.int16:          # pcm16 wire output
+            return pcm16_decode(a)
+        return a
 
     # -- interop with the reference AUDIO dict ------------------------------
     def to_comfy(self) -> Dict[str, Any]:
@@ -137,7 +169,7 @@ class AudioBuffer:
         ``make_audio`` (eval pack :77-86) so downstream reference-style code
         can consume either flavor.
         """
-        s = np.asarray(self.samples, dtype=np.float32)
+        s = self.numpy().astype(np.float32)
         return {
             "waveform": s[None, ...],
             "sample_rate": int(self.sample_rate),
@@ -170,13 +202,19 @@ def _thaw(obj: Any) -> Any:
     return obj
 
 
-def make_audio(sr: int, samples_cn: ArrayLike, meta: Optional[dict] = None) -> AudioBuffer:
-    """Build an AudioBuffer from any array shape (reference ``make_audio``)."""
+def make_audio(sr: int, samples_cn: ArrayLike, meta: Optional[dict] = None,
+               device: bool = True) -> AudioBuffer:
+    """Build an AudioBuffer from any array shape (reference ``make_audio``).
+
+    ``device=False`` keeps samples as host numpy so the dispatch edge
+    can choose the transfer format (pcm16 wire) instead of paying an
+    eager float32 upload at coercion time."""
     s = normalize_cn(samples_cn)
-    return AudioBuffer(samples=jnp.asarray(s), sample_rate=int(sr), meta=dict(meta or {}))
+    return AudioBuffer(samples=jnp.asarray(s) if device else s,
+                       sample_rate=int(sr), meta=dict(meta or {}))
 
 
-def from_any(x: Any) -> AudioBuffer:
+def from_any(x: Any, device: bool = True) -> AudioBuffer:
     """Accept any AUDIO-ish object and return an AudioBuffer.
 
     Handles (in order), mirroring the union of the reference's coercers
@@ -206,7 +244,7 @@ def from_any(x: Any) -> AudioBuffer:
                 wf = wf.reshape(b * c, wf.shape[-1])
             else:
                 wf = wf[0]
-        return make_audio(sr, wf, meta)
+        return make_audio(sr, wf, meta, device=device)
     if isinstance(x, dict) and ("sr" in x or "sample_rate" in x):
         sr = int(x.get("sr") or x.get("sample_rate"))
         buf = None
@@ -216,7 +254,7 @@ def from_any(x: Any) -> AudioBuffer:
                 break
         if buf is None:
             raise ValueError("Audio dict missing samples/waveform")
-        return make_audio(sr, buf, x.get("meta", {}))
+        return make_audio(sr, buf, x.get("meta", {}), device=device)
     if isinstance(x, (list, tuple)) and len(x) == 2 and not isinstance(x[0], (int, float)):
         arr, sr = x
         arr = _to_numpy(arr)
@@ -230,10 +268,11 @@ def from_any(x: Any) -> AudioBuffer:
                 cs = arr
         else:
             cs = arr.reshape(1, -1)
-        return AudioBuffer(jnp.asarray(cs, dtype=jnp.float32), int(sr), {})
+        cs = np.ascontiguousarray(cs, dtype=np.float32)
+        return AudioBuffer(jnp.asarray(cs) if device else cs, int(sr), {})
     if isinstance(x, (np.ndarray, jnp.ndarray)) or (hasattr(x, "detach") and hasattr(x, "cpu")):
         arr = _to_numpy(x)
         if arr.ndim == 3:
             arr = arr[0]
-        return make_audio(48000, arr, {})
+        return make_audio(48000, arr, {}, device=device)
     raise ValueError(f"Unsupported AUDIO object: {type(x)!r}")

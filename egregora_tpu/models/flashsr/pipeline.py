@@ -276,7 +276,7 @@ class FlashSRPipeline:
         return make_chunk_mesh(devs)
 
     def _fused_process(self, mesh, lowpass_input: bool, in_sr: int, out_sr: int,
-                       pad_mult: int):
+                       pad_mult: int, wire: bool = False):
         """ONE jitted program for the whole one-shot node path:
         resample-in -> chunk -> batched forward -> WOLA stitch ->
         resample-out.
@@ -287,15 +287,24 @@ class FlashSRPipeline:
         program = one dispatch, and XLA fuses the glue into the batch
         pipeline.  Cached per (mesh, flags, rates); shapes recompile per
         input length as usual.
+
+        ``wire=True`` compiles the pcm16-wire variant: the program takes
+        int16 input and returns int16 output, so both host<->device
+        transfers move 2 bytes/sample instead of 4 (core.audio pcm16
+        helpers at the host edges).  Dequantize/quantize are the first/
+        last fused ops; everything between is identical float32.
         """
         if not hasattr(self, "_proc_cache"):
             self._proc_cache = {}
-        key = (mesh, bool(lowpass_input), int(in_sr), int(out_sr), int(pad_mult))
+        key = (mesh, bool(lowpass_input), int(in_sr), int(out_sr), int(pad_mult),
+               bool(wire))
         fn = self._proc_cache.get(key)
         if fn is not None:
             return fn
 
         def run(params, x):
+            if wire:
+                x = x.astype(jnp.float32) * (1.0 / 32767.0)
             if in_sr != REQ_SR:
                 x = resample(x, in_sr, REQ_SR)
             c, total = x.shape
@@ -313,6 +322,8 @@ class FlashSRPipeline:
             out = wola_stitch(preds, starts, lengths, total, CHUNK_SAMPLES)
             if out_sr != REQ_SR:
                 out = resample(out, REQ_SR, out_sr)
+            if wire:
+                out = jnp.rint(jnp.clip(out, -1.0, 1.0) * 32767.0).astype(jnp.int16)
             return out
 
         fn = jax.jit(run)
@@ -322,7 +333,8 @@ class FlashSRPipeline:
     # ---- full-file processing (node-facing) ----
     def process(self, audio: AudioBuffer, lowpass_input: bool = False,
                 output_sr: int = 48000, pad_to_multiple: int = 1,
-                max_batch: Optional[int] = None, mesh="auto") -> AudioBuffer:
+                max_batch: Optional[int] = None, mesh="auto",
+                wire: str = "auto") -> AudioBuffer:
         """The reference node flow (``run``, :388-431) on device.
 
         ``mesh``: 'auto' shards the chunk batch over all devices
@@ -334,7 +346,27 @@ class FlashSRPipeline:
         chunk batches stream through one compiled program and fold into
         running Hann-weighted sums (O(batch) activations, O(total)
         accumulators); None processes everything in one batch.
+
+        ``wire``: transfer format for the host<->device edges.  "auto"
+        uses pcm16 (2 bytes/sample each way, -90 dBFS quantization
+        floor) when the samples are still host-resident numpy on an
+        accelerator backend and the input fits the one-shot path;
+        "pcm16" forces it; "f32" disables (also via ``EGREGORA_WIRE=f32``).
+        The returned buffer then carries int16 wire samples —
+        ``AudioBuffer.numpy()``/``to_comfy()`` dequantize on the host
+        side of the transfer.
+
+        The wire program is bit-exact with the f32 program on the
+        quantized input (measured on TPU: max |delta| 0.0).  Note the
+        pipeline itself is NOT sample-stable under a 1-LSB input dither
+        when ``adaptive_crossover`` is on: the per-item band-edge
+        detector takes a discrete max over active mel bands, so a
+        borderline band can flip and move the merge edge one band —
+        both outputs are equally valid reconstructions (same LSD), they
+        just disagree sample-wise above the input's bandwidth.
         """
+        import os
+
         in_sr = audio.sample_rate
         mesh = self._resolve_mesh(mesh)
         pad_mult = int(np.lcm(max(pad_to_multiple, 1), mesh.size)) if mesh else pad_to_multiple
@@ -345,8 +377,19 @@ class FlashSRPipeline:
         k = -(-num_chunks(total48, CHUNK_SAMPLES, HOP_SAMPLES) // pad_mult) * pad_mult
 
         if max_batch is None or k <= max_batch:
+            env_f32 = os.environ.get("EGREGORA_WIRE", "").lower() == "f32"
+            use_wire = wire == "pcm16" or (
+                wire == "auto" and not env_f32
+                and isinstance(audio.samples, np.ndarray)
+                and jax.devices()[0].platform != "cpu")
             fn = self._fused_process(mesh, lowpass_input, in_sr, int(output_sr),
-                                     pad_mult)
+                                     pad_mult, wire=use_wire)
+            if use_wire:
+                from ...core.audio import pcm16_encode
+                x = jnp.asarray(pcm16_encode(audio.samples))
+                meta = dict(audio.meta)
+                meta["wire"] = "pcm16"
+                return AudioBuffer(fn(self.params, x), int(output_sr), meta)
             out = fn(self.params, audio.samples)
             return AudioBuffer(out, int(output_sr), dict(audio.meta))
 

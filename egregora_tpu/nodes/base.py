@@ -17,8 +17,10 @@ import numpy as np
 from ..core.audio import AudioBuffer, from_any, normalize_cn
 
 
-def to_buffer(x: Any) -> AudioBuffer:
-    return from_any(x)
+def to_buffer(x: Any, device: bool = True) -> AudioBuffer:
+    """``device=False`` keeps samples host-side so the pipeline's
+    dispatch edge can transfer in pcm16 wire format (core.audio)."""
+    return from_any(x, device=device)
 
 
 def comfy_audio(sr: int, samples_cn: Any, meta: Optional[dict] = None) -> Dict[str, Any]:

@@ -49,7 +49,9 @@ class EgregoraAudioSuperResolution:
         return cls._PIPE
 
     def run(self, audio=None, lowpass_input=False, output_sr="48000"):
-        buf = to_buffer(audio)
+        # keep samples host-side: the pipeline's dispatch edge then moves
+        # them as pcm16 wire (half the bytes each way) on accelerators
+        buf = to_buffer(audio, device=False)
         pipe = self._pipeline()
         out = pipe.process(buf, lowpass_input=bool(lowpass_input),
                            output_sr=int(output_sr))

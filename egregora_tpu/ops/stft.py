@@ -188,6 +188,16 @@ def _windowed_dft_kernel(n_fft: int, window: str) -> np.ndarray:
     return basis.astype(np.float32)[:, None, :]
 
 
+@functools.lru_cache(maxsize=8)
+def _windowed_dft_basis_t(n_fft: int, window: str) -> np.ndarray:
+    """``[n_fft, 2*(n_fft//2+1)]`` — the stft_conv basis already in
+    matmul orientation.  Transposing here (host numpy, cached) instead
+    of inside the traced einsum keeps the >16 MB constant out of XLA's
+    constant folder: the dryrun logged >1 s folding a ``f32[2048,2050]``
+    transpose per program (VERDICT r3 weak #8)."""
+    return np.ascontiguousarray(_windowed_dft_kernel(n_fft, window)[:, 0, :].T)
+
+
 def frame_strided(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     """Gather-free framing: ``[..., T] -> [..., frames, n_fft]``.
 
@@ -227,8 +237,8 @@ def stft_conv(x: jnp.ndarray, n_fft: int, hop: int, *,
     (mel); the eval path keeps ``stft`` for bit-parity.
     """
     fr = frame_strided(x, n_fft, hop)                # [..., frames, n_fft]
-    basis = jnp.asarray(_windowed_dft_kernel(n_fft, window)[:, 0, :])  # [2F, n_fft]
-    y = jnp.einsum("...fn,kn->...fk", fr, basis)     # [..., frames, 2F]
+    basis_t = jnp.asarray(_windowed_dft_basis_t(n_fft, window))  # [n_fft, 2F]
+    y = fr @ basis_t                                 # [..., frames, 2F]
     nbins = n_fft // 2 + 1
     return y[..., :nbins], y[..., nbins:]
 

@@ -400,3 +400,40 @@ def test_flashsr_process_mesh_matches_single(tiny_pipe):
     assert len(jax.devices()) == 8
     np.testing.assert_allclose(np.asarray(a.samples), np.asarray(b.samples),
                                atol=2e-2, rtol=1e-2)
+
+
+def test_flashsr_process_pcm16_wire_matches_f32(tiny_pipe):
+    """wire="pcm16" (int16 at both host<->device edges) must match the
+    float32 path within the -90 dBFS quantization floor, return int16
+    wire samples, and dequantize through AudioBuffer.numpy()."""
+    from egregora_tpu.core.audio import AudioBuffer, pcm16_decode, pcm16_encode
+
+    x = np.random.default_rng(7).standard_normal(
+        (1, CHUNK_SAMPLES + HOP_SAMPLES)).astype(np.float32) * 0.1
+    buf = AudioBuffer(x, 48000, {})            # host numpy samples
+    a = tiny_pipe.process(buf, mesh=None, wire="f32")
+    b = tiny_pipe.process(buf, mesh=None, wire="pcm16")
+    assert np.asarray(b.samples).dtype == np.int16
+    assert b.meta.get("wire") == "pcm16"
+    y = b.numpy()
+    assert y.dtype == np.float32
+    # one quantize step on input (-90 dBFS) through the model + one on
+    # output: comfortably inside 1e-3 absolute for 0.1-RMS audio
+    np.testing.assert_allclose(np.asarray(a.samples), y, atol=1e-3)
+
+    # encode/decode roundtrip: exact to one LSB
+    v = np.linspace(-1.2, 1.2, 101).astype(np.float32)
+    rt = pcm16_decode(pcm16_encode(v))
+    np.testing.assert_allclose(rt, np.clip(v, -1, 1), atol=1.0 / 32767.0)
+
+
+def test_from_any_device_false_keeps_host():
+    """device=False coercion keeps numpy samples (the node layer's way
+    to let process() pick the pcm16 transfer format)."""
+    from egregora_tpu.core.audio import from_any
+
+    x = np.zeros((1, 2, 480), np.float32)
+    buf = from_any({"waveform": x, "sample_rate": 48000}, device=False)
+    assert isinstance(buf.samples, np.ndarray)
+    d = buf.to_comfy()
+    assert d["waveform"].shape == (1, 2, 480)
