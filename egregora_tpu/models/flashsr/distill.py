@@ -423,9 +423,12 @@ def _deep_tuple(v):
 
 
 def _cfg_to_json(cfg: FlashSRConfig) -> str:
-    """Serialize the compact trio geometry (dtype fields dropped; they
-    are code policy, not checkpoint state)."""
+    """Serialize trio geometry (dtype fields dropped; they are code
+    policy, not checkpoint state).  The UNet entry is tagged by kind so
+    converted full-config (LDMUNet) caches round-trip too."""
     import dataclasses as dc
+
+    from .ldm_unet import LDMUNetConfig
 
     def enc(o):
         d = dc.asdict(o)
@@ -433,6 +436,8 @@ def _cfg_to_json(cfg: FlashSRConfig) -> str:
         return d
 
     return json.dumps({"vae": enc(cfg.vae), "unet": enc(cfg.unet),
+                       "unet_kind": ("ldm" if isinstance(cfg.unet, LDMUNetConfig)
+                                     else "student"),
                        "vocoder": enc(cfg.vocoder),
                        "crossover_hz": cfg.crossover_hz,
                        "noise_seed": cfg.noise_seed,
@@ -441,13 +446,16 @@ def _cfg_to_json(cfg: FlashSRConfig) -> str:
 
 
 def _cfg_from_json(s: str) -> FlashSRConfig:
+    from .ldm_unet import LDMUNetConfig
+
     d = json.loads(s)
 
     def dec(cls, dd):
         return cls(**{k: _deep_tuple(v) for k, v in dd.items()})
 
+    unet_cls = LDMUNetConfig if d.get("unet_kind") == "ldm" else UNetConfig
     return FlashSRConfig(vae=dec(VAEConfig, d["vae"]),
-                         unet=dec(UNetConfig, d["unet"]),
+                         unet=dec(unet_cls, d["unet"]),
                          vocoder=dec(VocoderConfig, d["vocoder"]),
                          crossover_hz=d["crossover_hz"],
                          noise_seed=d["noise_seed"],
@@ -505,29 +513,34 @@ def load_pretrained_with_cfg(path: Path = PRETRAINED):
 def resolve_flashsr(seed: int = 0):
     """(config, params, source) for the node/CLI:
 
-    1. the three real reference checkpoints, converted  -> full config
-    2. shipped synthetic-distilled ``pretrained.npz``   -> compact config
-       (``EGREGORA_FLASHSR_VARIANT=istft`` prefers the complex-spectrum
-       ``pretrained_istft.npz`` trio when it ships)
-    3. seeded random init (loud warning)                -> full config
+    1. the three real reference checkpoints, converted  -> config
+       INFERRED from the checkpoint shapes (utils/weights.
+       load_converted_flashsr + models/flashsr/geometry)
+    2. shipped complex-spectrum ``pretrained_istft.npz`` -> THE DEFAULT
+       served trio: it gates better than the HiFi-GAN trio on every
+       eval seed (LSD 4.91-5.73 vs 4.99-5.8, see pretrained_istft.json)
+       AND runs ~1.6x faster (all vocoder FLOPs at 100 Hz frame rate).
+       ``EGREGORA_FLASHSR_VARIANT=hifigan`` selects the HiFi-GAN trio.
+    3. shipped HiFi-GAN-vocoder ``pretrained.npz``      -> compact config
+    4. seeded random init (loud warning)                -> full config
     """
     import os
 
-    from ...utils.weights import (ensure_flashsr_weights, flashsr_ckpt_dir,
-                                  missing_flashsr_files)
+    from ...utils.weights import load_converted_flashsr
     from .pipeline import FlashSRModules
 
-    if not missing_flashsr_files() or (flashsr_ckpt_dir() / "flashsr_params.npz").exists():
-        cfg = FlashSRConfig()
-        return cfg, ensure_flashsr_weights(FlashSRModules(cfg), seed), "converted"
+    converted = load_converted_flashsr(seed)
+    if converted is not None:
+        return converted[0], converted[1], "converted"
     variant = os.environ.get("EGREGORA_FLASHSR_VARIANT", "").strip().lower()
-    if variant in ("istft", "vocos"):
+    if variant not in ("hifigan",):
         shipped = load_pretrained_with_cfg(PRETRAINED_ISTFT)
         if shipped is not None:
             return shipped[0], shipped[1], "distilled-istft"
-        print("[egregora_tpu] FlashSR: EGREGORA_FLASHSR_VARIANT="
-              f"{variant!r} but no {PRETRAINED_ISTFT.name} shipped — "
-              "falling back to the default trio")
+        if variant in ("istft", "vocos"):
+            print("[egregora_tpu] FlashSR: EGREGORA_FLASHSR_VARIANT="
+                  f"{variant!r} but no {PRETRAINED_ISTFT.name} shipped — "
+                  "falling back to the HiFi-GAN trio")
     shipped = load_pretrained_with_cfg()
     if shipped is not None:
         return shipped[0], shipped[1], "distilled"

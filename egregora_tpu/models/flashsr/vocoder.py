@@ -258,7 +258,7 @@ def hifigan_name_map(cfg: VocoderConfig = VocoderConfig()):
         for j in range(nk):
             idx = i * nk + j
             base = f"params/MRF_{i}/ResBlock1D_{j}"
-            for d in range(3):
+            for d in range(len(cfg.resblock_dilations[j])):
                 m[f"resblocks.{idx}.convs1.{d}.weight"] = f"{base}/Conv_{2*d}/kernel"
                 m[f"resblocks.{idx}.convs1.{d}.bias"] = f"{base}/Conv_{2*d}/bias"
                 m[f"resblocks.{idx}.convs2.{d}.weight"] = f"{base}/Conv_{2*d+1}/kernel"

@@ -183,10 +183,21 @@ def convert_state_dict(torch_sd: Dict[str, np.ndarray], target_tree: Any,
             del remaining[fk]
 
     if remaining:
-        missing = sorted(remaining)[:20]
+        # full shape report (VERDICT r3 next #3): what the model still
+        # needs vs what the checkpoint offered — so a geometry mismatch
+        # is diagnosable from the error alone
+        need = [f"  need {k}: {tuple(v.shape)}"
+                for k, v in sorted(remaining.items())[:15]]
+        consumed = {v for v in out}
+        offered = [f"  have {k}: {tuple(np.asarray(v).shape)}"
+                   for k, v in sorted(torch_sd.items())
+                   if k not in consumed][:15]
         raise ValueError(
-            f"convert_state_dict: {len(remaining)} target leaves unmatched, "
-            f"e.g. {missing}. Provide an explicit name_map for this checkpoint.")
+            f"convert_state_dict: {len(remaining)}/{len(flat_target)} target "
+            "leaves unmatched.\nUnfilled model leaves:\n" + "\n".join(need)
+            + "\nUnconsumed checkpoint tensors:\n" + "\n".join(offered)
+            + "\nLikely a geometry mismatch — check the inferred config "
+            "(models/flashsr/geometry.py) or provide an explicit name_map.")
     return _unflatten(out)
 
 
@@ -217,39 +228,89 @@ def fast_init_like(shape_tree: Any, seed: int = 0) -> Any:
     return jax.tree_util.tree_map_with_path(leaf, shape_tree)
 
 
+def _convert_flashsr_trio(modules, seed: int, d: Path) -> Any:
+    """Convert the three on-disk ``.pth`` files into ``modules``' param
+    tree, cache as .npz + a geometry sidecar (so later cache loads know
+    which config the arrays belong to)."""
+    from ..models.flashsr.distill import _cfg_to_json
+    from ..models.flashsr.ldm_unet import LDMUNetConfig, ldm_unet_name_map
+    from ..models.flashsr.vae import audioldm_vae_name_map
+    from ..models.flashsr.vocoder import hifigan_name_map
+
+    params = modules.init_params(seed)
+    # per-checkpoint upstream name maps (layout-tested against
+    # synthetic state dicts in the documented upstream conventions);
+    # a non-LDM student config falls back to suffix/shape matching
+    maps = {"vae": audioldm_vae_name_map(modules.cfg.vae),
+            "sr_vocoder": hifigan_name_map(modules.cfg.vocoder),
+            "student_ldm": (ldm_unet_name_map(modules.cfg.unet)
+                            if isinstance(modules.cfg.unet, LDMUNetConfig)
+                            else None)}
+    converted = {}
+    for name, fname in (("student_ldm", "student_ldm.pth"),
+                        ("sr_vocoder", "sr_vocoder.pth"),
+                        ("vae", "vae.pth")):
+        sd = load_torch_state_dict(d / fname)
+        converted[name] = convert_state_dict(sd, params[name],
+                                             name_map=maps[name])
+    save_params(converted, d / "flashsr_params.npz")
+    (d / "flashsr_params.cfg.json").write_text(_cfg_to_json(modules.cfg))
+    return converted
+
+
 def ensure_flashsr_weights(modules, seed: int = 0, ckpt_dir: Optional[Path] = None):
-    """Return FlashSR params: converted-from-.pth if the three reference
-    checkpoints are present (cached as .npz), else a deterministic
-    seeded init.  Never fetches (zero-egress environment); reports what
-    to place where, like the reference does."""
+    """Return FlashSR params for ``modules``' EXPLICIT config:
+    converted-from-.pth if the three reference checkpoints are present
+    (cached as .npz), else a deterministic seeded init.  Never fetches
+    without opt-in (utils/fetch.py handles downloads); reports what to
+    place where, like the reference does.  ``load_converted_flashsr``
+    is the geometry-inferring entry the resolver uses."""
     d = ckpt_dir or flashsr_ckpt_dir()
     cache = d / "flashsr_params.npz"
     if cache.exists():
         return load_params(cache)
     missing = missing_flashsr_files(d)
     if not missing:
-        from ..models.flashsr.ldm_unet import LDMUNetConfig, ldm_unet_name_map
-        from ..models.flashsr.vae import audioldm_vae_name_map
-        from ..models.flashsr.vocoder import hifigan_name_map
-        params = modules.init_params(seed)
-        # per-checkpoint upstream name maps (layout-tested against
-        # synthetic state dicts in the documented upstream conventions);
-        # a non-LDM student config falls back to suffix/shape matching
-        maps = {"vae": audioldm_vae_name_map(modules.cfg.vae),
-                "sr_vocoder": hifigan_name_map(modules.cfg.vocoder),
-                "student_ldm": (ldm_unet_name_map(modules.cfg.unet)
-                                if isinstance(modules.cfg.unet, LDMUNetConfig)
-                                else None)}
-        converted = {}
-        for name, fname in (("student_ldm", "student_ldm.pth"),
-                            ("sr_vocoder", "sr_vocoder.pth"),
-                            ("vae", "vae.pth")):
-            sd = load_torch_state_dict(d / fname)
-            converted[name] = convert_state_dict(sd, params[name],
-                                                 name_map=maps[name])
-        save_params(converted, cache)
-        return converted
+        return _convert_flashsr_trio(modules, seed, d)
     print(f"[egregora_tpu] FlashSR weights not found in {d} (missing: "
           f"{', '.join(missing)}; HF dataset {HF_DATASET}). "
           "Using seeded random init.")
     return modules.init_params(seed)
+
+
+def load_converted_flashsr(seed: int = 0, ckpt_dir: Optional[Path] = None):
+    """(config, params) for real reference checkpoints, with the config
+    INFERRED from the checkpoint tensor shapes
+    (models/flashsr/geometry.py — VERDICT r3 next #3), or None when the
+    trio isn't on disk.  The conversion caches arrays + geometry
+    sidecar; cache hits skip torch entirely.  A cache written by an
+    older version (no sidecar) loads at the default full config — the
+    geometry those caches were built with."""
+    d = ckpt_dir or flashsr_ckpt_dir()
+    cache = d / "flashsr_params.npz"
+    sidecar = d / "flashsr_params.cfg.json"
+    from ..models.flashsr.distill import _cfg_from_json
+    from ..models.flashsr.pipeline import FlashSRConfig, FlashSRModules
+    if cache.exists():
+        cfg = (_cfg_from_json(sidecar.read_text()) if sidecar.exists()
+               else FlashSRConfig())
+        return cfg, load_params(cache)
+    if missing_flashsr_files(d):
+        # first-use download attempt (reference runner behavior,
+        # :282-317); offline environments degrade to shipped weights
+        from .fetch import auto_fetch_flashsr
+        if not auto_fetch_flashsr(d):
+            return None
+    from ..models.flashsr.geometry import infer_flashsr_config
+    sds = {f: load_torch_state_dict(d / f"{f}.pth")
+           for f in ("vae", "student_ldm", "sr_vocoder")}
+    cfg = infer_flashsr_config(sds["vae"], sds["student_ldm"],
+                               sds["sr_vocoder"])
+    print(f"[egregora_tpu] FlashSR geometry inferred from checkpoints: "
+          f"vae base={cfg.vae.base_channels} mults={cfg.vae.channel_mults}; "
+          f"unet mc={cfg.unet.model_channels} mult={cfg.unet.channel_mult} "
+          f"heads={cfg.unet.num_heads} (heads are not shape-recoverable — "
+          f"override via EGREGORA_FLASHSR_NUM_HEADS); "
+          f"vocoder init={cfg.vocoder.upsample_initial} "
+          f"factors={cfg.vocoder.upsample_factors}")
+    return cfg, _convert_flashsr_trio(FlashSRModules(cfg), seed, d)

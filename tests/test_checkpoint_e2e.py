@@ -48,29 +48,11 @@ def _save_pth(path, sd):
                 for k, v in sd.items()}, str(path))
 
 
-def test_pth_trio_converts_and_runs(tmp_path):
-    cfg = _reduced_cfg()
-    modules = FlashSRModules(cfg)
-    params = modules.init_params(seed=0)
-    rng = np.random.default_rng(11)
-
-    # vae.pth: AudioLDM AutoencoderKL layout (+ an upstream-only extra)
-    nm_vae = audioldm_vae_name_map(cfg.vae)
-    sd_vae = _synthetic_torch_sd(nm_vae.__self__, _flatten(params["vae"]), rng)
-    sd_vae["loss.logvar"] = np.zeros((1,), np.float32)
-    _save_pth(tmp_path / "vae.pth", sd_vae)
-
-    # sr_vocoder.pth: weight-normalized HiFi-GAN layout
-    nm_voc = hifigan_name_map(cfg.vocoder)
-    sd_voc = _synthetic_torch_sd(nm_voc.__self__, _flatten(params["sr_vocoder"]),
-                                 rng, weight_norm=True)
-    _save_pth(tmp_path / "sr_vocoder.pth", sd_voc)
-
-    # student_ldm.pth: CompVis UNetModel layout (qkv/proj_out as 1d
-    # convs [out, in, 1], time_embed/emb_layers as Linear [out, in])
-    flat_unet = _flatten(params["student_ldm"])
-    raw_unet = ldm_unet_name_map(cfg.unet).__self__
-    H = cfg.unet.num_heads
+def _synthetic_unet_sd(cfg_unet, flat_unet):
+    """CompVis UNetModel layout (qkv/proj_out as 1d convs [out, in, 1],
+    time_embed/emb_layers as Linear [out, in]) from a flax tree."""
+    raw_unet = ldm_unet_name_map(cfg_unet).__self__
+    H = cfg_unet.num_heads
     sd_unet = {}
     for tk, fk in raw_unet.items():
         tr = None
@@ -95,7 +77,37 @@ def test_pth_trio_converts_and_runs(tmp_path):
             sd_unet[tk] = w.T
         else:
             sd_unet[tk] = w
+    return sd_unet
+
+
+def _build_trio(cfg, tmp_path, seed=0, rng_seed=11):
+    """Write the three synthetic upstream-layout .pth files for ``cfg``
+    into ``tmp_path``; returns the source param tree."""
+    modules = FlashSRModules(cfg)
+    params = modules.init_params(seed=seed)
+    rng = np.random.default_rng(rng_seed)
+
+    # vae.pth: AudioLDM AutoencoderKL layout (+ an upstream-only extra)
+    nm_vae = audioldm_vae_name_map(cfg.vae)
+    sd_vae = _synthetic_torch_sd(nm_vae.__self__, _flatten(params["vae"]), rng)
+    sd_vae["loss.logvar"] = np.zeros((1,), np.float32)
+    _save_pth(tmp_path / "vae.pth", sd_vae)
+
+    # sr_vocoder.pth: weight-normalized HiFi-GAN layout
+    nm_voc = hifigan_name_map(cfg.vocoder)
+    sd_voc = _synthetic_torch_sd(nm_voc.__self__, _flatten(params["sr_vocoder"]),
+                                 rng, weight_norm=True)
+    _save_pth(tmp_path / "sr_vocoder.pth", sd_voc)
+
+    sd_unet = _synthetic_unet_sd(cfg.unet, _flatten(params["student_ldm"]))
     _save_pth(tmp_path / "student_ldm.pth", sd_unet)
+    return params, sd_vae
+
+
+def test_pth_trio_converts_and_runs(tmp_path):
+    cfg = _reduced_cfg()
+    modules = FlashSRModules(cfg)
+    params, sd_vae = _build_trio(cfg, tmp_path)
 
     converted = ensure_flashsr_weights(modules, ckpt_dir=tmp_path)
 
@@ -125,3 +137,123 @@ def test_pth_trio_converts_and_runs(tmp_path):
     assert pred.shape == (1, 4, 8, cfg.unet.out_channels)
     wav = modules.vocoder.apply(converted["sr_vocoder"], mel)
     assert np.isfinite(np.asarray(wav)).all()
+
+
+# ---------------- geometry inference (VERDICT r3 next #3) ----------------
+
+def _wide_cfg() -> FlashSRConfig:
+    """NON-default geometry: different widths, mults, block counts, and
+    attention placement than both the default full config and
+    _reduced_cfg — what a real checkpoint with unexpected geometry
+    looks like."""
+    return FlashSRConfig(
+        vae=VAEConfig(base_channels=12, channel_mults=(1, 3), latent_channels=6,
+                      num_res_blocks=2, groups=4),
+        unet=LDMUNetConfig(in_channels=12, out_channels=6, model_channels=12,
+                           channel_mult=(1, 2, 4), num_res_blocks=1,
+                           attention_resolutions=(4,), num_heads=2, groups=4),
+        vocoder=VocoderConfig(upsample_initial=24,
+                              upsample_factors=(6, 5), upsample_kernels=(12, 10),
+                              resblock_kernels=(3, 5),
+                              resblock_dilations=((1, 3), (1, 3)),
+                              channel_floor=12),
+    )
+
+
+def test_geometry_inference_from_shapes(tmp_path, monkeypatch):
+    """infer_flashsr_config must recover every shape-derivable field of
+    a non-default geometry from the state dicts alone."""
+    from egregora_tpu.models.flashsr.geometry import infer_flashsr_config
+    from egregora_tpu.utils.weights import load_torch_state_dict
+
+    monkeypatch.setenv("EGREGORA_FLASHSR_NUM_HEADS", "2")
+    cfg = _wide_cfg()
+    _build_trio(cfg, tmp_path)
+    sds = {n: load_torch_state_dict(tmp_path / f"{n}.pth")
+           for n in ("vae", "student_ldm", "sr_vocoder")}
+    got = infer_flashsr_config(sds["vae"], sds["student_ldm"],
+                               sds["sr_vocoder"])
+
+    v = got.vae
+    assert (v.base_channels, v.channel_mults, v.latent_channels,
+            v.num_res_blocks) == (12, (1, 3), 6, 2)
+    assert v.mid_attn and v.use_quant_conv
+    u = got.unet
+    assert isinstance(u, LDMUNetConfig)
+    assert (u.in_channels, u.out_channels, u.model_channels) == (12, 6, 12)
+    assert u.channel_mult == (1, 2, 4) and u.num_res_blocks == 1
+    assert u.attention_resolutions == (4,) and u.num_heads == 2
+    w = got.vocoder
+    assert (w.n_mels, w.upsample_initial) == (256, 24)
+    assert w.upsample_factors == (6, 5) and w.upsample_kernels == (12, 10)
+    assert w.resblock_kernels == (3, 5) and w.channel_floor == 12
+    assert w.resblock_dilations == ((1, 3), (1, 3))
+
+
+def test_load_converted_flashsr_infers_and_caches(tmp_path, monkeypatch):
+    """End-to-end: a trio of non-default-geometry .pth files loads via
+    shape inference (no config given anywhere), the converted params
+    run a forward, and the cache + geometry sidecar serve reloads."""
+    from egregora_tpu.utils.weights import load_converted_flashsr
+
+    monkeypatch.setenv("EGREGORA_FLASHSR_NUM_HEADS", "2")
+    cfg = _wide_cfg()
+    _build_trio(cfg, tmp_path)
+    out = load_converted_flashsr(ckpt_dir=tmp_path)
+    assert out is not None
+    got_cfg, params = out
+    # groups is not shape-recoverable (upstream default 32) — compare
+    # everything else via a groups-normalized copy
+    import dataclasses as dc
+    norm = dc.replace(got_cfg,
+                      vae=dc.replace(got_cfg.vae, groups=cfg.vae.groups),
+                      unet=dc.replace(got_cfg.unet, groups=cfg.unet.groups))
+    assert norm.vae == cfg.vae and norm.unet == cfg.unet
+    assert norm.vocoder == cfg.vocoder
+    assert (tmp_path / "flashsr_params.npz").exists()
+    assert (tmp_path / "flashsr_params.cfg.json").exists()
+
+    # forward runs at the inferred geometry
+    modules = FlashSRModules(got_cfg)
+    mel_img = jnp.zeros((1, 16, 32, 1), jnp.float32)
+    z = modules.vae.apply(params["vae"], mel_img,
+                          method=type(modules.vae).encode)
+    assert z.shape[-1] == cfg.vae.latent_channels
+
+    # reload hits the cache and round-trips the geometry sidecar
+    out2 = load_converted_flashsr(ckpt_dir=tmp_path)
+    assert out2 is not None and out2[0] == got_cfg
+
+
+def test_geometry_mismatch_fails_with_shape_report(tmp_path):
+    """A checkpoint whose geometry disagrees with an EXPLICIT config
+    must fail with an actionable error naming unfilled/unconsumed
+    tensors and their shapes — never a silent half-load."""
+    cfg = _reduced_cfg()
+    _build_trio(cfg, tmp_path)
+    import dataclasses as dc
+    wrong = dc.replace(cfg, vae=dc.replace(cfg.vae, base_channels=16))
+    with pytest.raises(ValueError) as ei:
+        ensure_flashsr_weights(FlashSRModules(wrong), ckpt_dir=tmp_path)
+    msg = str(ei.value)
+    assert "need " in msg and "have " in msg and "(" in msg
+
+
+def test_geometry_malformed_checkpoint_errors(tmp_path):
+    """A structurally broken state dict raises GeometryError naming the
+    missing key, not an exception from deep inside conversion."""
+    from egregora_tpu.models.flashsr.geometry import (GeometryError,
+                                                      infer_vae_config,
+                                                      infer_vocoder_config)
+
+    with pytest.raises(GeometryError, match="conv_in"):
+        infer_vae_config({"encoder.down.0.block.0.conv1.weight":
+                          np.zeros((8, 8, 3, 3), np.float32)})
+    # vocoder whose channel widths can't come from halving-with-floor
+    bad = {"conv_pre.weight": np.zeros((16, 256, 7), np.float32),
+           "conv_pre.bias": np.zeros((16,), np.float32),
+           "ups.0.weight": np.zeros((16, 12, 8), np.float32),
+           "ups.1.weight": np.zeros((12, 10, 8), np.float32),
+           "resblocks.0.convs1.0.weight": np.zeros((10, 10, 3), np.float32)}
+    with pytest.raises(GeometryError, match="halving"):
+        infer_vocoder_config(bad)
