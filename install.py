@@ -44,11 +44,17 @@ def build_native() -> None:
     print(f"[native] wavcodec: {'built' if lib is not None else 'unavailable (g++ missing?); stdlib fallback active'}")
 
 
-def check_weights() -> None:
+def check_weights(fetch: bool = True) -> None:
     from egregora_tpu.utils.weights import (FLASHSR_FILES, HF_DATASET, flashsr_ckpt_dir,
                                             missing_flashsr_files)
     d = flashsr_ckpt_dir()
     missing = missing_flashsr_files()
+    if missing and fetch:
+        # reference install.py:78-101 (try_fetch_weights): hf_hub ->
+        # streaming HTTP, env-overridable repo, degrade with instructions
+        from egregora_tpu.utils.fetch import fetch_flashsr_weights
+        print(f"[weights] FlashSR: fetching {', '.join(missing)} ...")
+        missing = fetch_flashsr_weights(timeout=30.0)
     if missing:
         print(f"[weights] FlashSR: missing {', '.join(missing)} in {d}")
         print(f"[weights]   place the files from HF dataset {HF_DATASET} there; "
@@ -107,10 +113,12 @@ def warmups() -> None:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-warmup", action="store_true")
+    ap.add_argument("--offline", action="store_true",
+                    help="skip the weight fetch attempt")
     args = ap.parse_args(argv)
     ok = check_deps()
     build_native()
-    check_weights()
+    check_weights(fetch=not args.offline)
     if not args.skip_warmup:
         warmups()
     print("[install] done" if ok else "[install] finished with missing required deps")

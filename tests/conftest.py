@@ -10,6 +10,10 @@ import os
 # here are too late — jax.config.update after import is what actually
 # forces the local CPU backend for tests.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# the suite must be hermetic: never attempt the first-use weight
+# download (tests that exercise the fetch chain point it at a local
+# HTTP fixture and clear this)
+os.environ["EGREGORA_TPU_OFFLINE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
