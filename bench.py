@@ -11,20 +11,27 @@ weights, i.e. audio-seconds/sec of device-resident SR per chip.
 Earlier lines cover the other BASELINE.json configs and the honest
 host<->host edges:
 
-  flashsr_chunk_rtf_48k    model-forward-only RTF (r1-comparable)
+  flashsr_chunk_rtf_48k    model-forward-only RTF, full config (r1-comparable)
   fatllama_ist_iters_s     config #1: IST iterations/s, 30 s 16 kHz mono
   evalpack_pairs_s         config #2: SI-SDR+LSD+LUFS on paired 48 kHz clips
   nullsuite_pairs_s        config #3: GCC-PHAT align + gain match + subtract
   rnnoise_rtf_48k          RNNoise engine on the accelerator, one program
   fullchain_rtf_96k        config #5: denoise->FlashSR->FatLlama->96 kHz
-                           + eval, ONE fused device program
+                           + eval, ONE fused device program (served weights)
   relay_d2h_MBps           measured tunnel bandwidth at bench time
   flashsr_node_rtf_48k     full node path incl. host edges THROUGH THE
-                           RELAY TUNNEL (diagnostic: the tunnel moves
-                           1-70 MB/s hour to hour; on a real TPU host
-                           the same edges are GB/s PCIe)
-  flashsr_pipeline_mfu_pct XLA cost-analysis FLOPs / wall / v5e bf16 peak
-  flashsr_pipeline_rtf_48k FLAGSHIP: fused device-resident pipeline
+                           RELAY TUNNEL, pcm16 wire both ways (served
+                           weights; the tunnel moves 1-70 MB/s hour to
+                           hour; on a real TPU host the same edges are
+                           GB/s PCIe)
+  flashsr_pipeline_mfu_pct full-config program MFU (cost-analysis FLOPs
+                           / wall / v5e bf16 peak)
+  flashsr_pipeline_fullcfg_rtf_48k  full-config fused pipeline (r1-r3's
+                           flagship line; random-init timing standard)
+  flashsr_serving_mfu_pct  MFU of the default-served (gated) pipeline
+  flashsr_pipeline_rtf_48k FLAGSHIP: fused device-resident pipeline with
+                           the weights the node serves by default — the
+                           quality-gated shipped istft trio
 
 vs_baseline for RTF metrics is against the 100x-per-chip north star;
 throughput metrics report vs_baseline 0.0 (no published reference
@@ -204,11 +211,13 @@ def bench_node_path(pipe, jnp) -> None:
     x_host = (rng.standard_normal((1, in_sr * secs)) * 0.1).astype(np.float32)
 
     def dispatch():
-        buf = AudioBuffer(jnp.asarray(x_host), in_sr, {})
+        # host numpy in -> process() moves both edges as pcm16 wire
+        # (2 bytes/sample; half the relay traffic of float32)
+        buf = AudioBuffer(x_host, in_sr, {})
         return pipe.process(buf, lowpass_input=False, output_sr=48000,
                             max_batch=32)
 
-    np.asarray(dispatch().samples)  # compile everything + settle
+    dispatch().numpy()  # compile everything + settle
     trials = 3
     rtf = 0.0
     for _ in range(2):   # best-of rounds: the tunnel's bandwidth swings
@@ -219,7 +228,7 @@ def bench_node_path(pipe, jnp) -> None:
                 o.samples.copy_to_host_async()
             except Exception:
                 pass
-        ys = [np.asarray(o.samples) for o in outs]
+        ys = [o.numpy() for o in outs]
         dt = time.time() - t0
         assert all(np.isfinite(y).all() for y in ys)
         rtf = max(rtf, trials * secs / dt)
@@ -330,11 +339,23 @@ def bench_fullchain(pipe, jnp, secs: int = 30) -> None:
 
     _sync(chain(pipe.params, x16))          # compile + settle
     best = 0.0
+    best_dt = float("inf")
     for _ in range(2):
         t0 = time.time()
         _sync(chain(pipe.params, x16))
         dt = time.time() - t0
+        best_dt = min(best_dt, dt)
         best = max(best, secs / dt)
+    try:
+        ca = chain.lower(pipe.params, x16).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            _emit("fullchain_mfu_pct", 100.0 * flops / best_dt / _V5E_PEAK_FLOPS,
+                  "pct_of_v5e_bf16_peak", 0.0)
+    except Exception as e:
+        _emit("fullchain_mfu_pct_failed", 0.0, f"error:{type(e).__name__}", 0.0)
     _emit("fullchain_rtf_96k", best, "x_realtime_per_chip", 0.0)
 
 
@@ -342,35 +363,23 @@ def bench_fullchain(pipe, jnp, secs: int = 30) -> None:
 _V5E_PEAK_FLOPS = 197e12
 
 
-def bench_device_pipeline(pipe, jnp) -> None:
-    """FLAGSHIP: the fused full pipeline (resample 16k->48k -> chunk ->
-    batched forward -> WOLA stitch) as one device-resident program — the
-    north-star metric (BASELINE.json: everything in HBM, host edges
-    shrunk to decode/weights).  Each round is fully synced via a 4-byte
-    reduction transfer; best of 3 rounds reported (the relay adds
-    variable per-dispatch latency that is not device work).
-
-    Also emits the pipeline's MFU (VERDICT r2 #5): compiled-program
-    FLOPs from XLA cost analysis / wall time / v5e peak — the honest
-    utilization number behind the RTF."""
+def _time_fused(pipe, jnp, x_dev, secs: int, rounds: int = 3):
+    """(best_rtf, best_dt, red_fn): compile + time the fused pipeline."""
     import jax
 
-    in_sr = 16000
-    secs = 120
-    rng = np.random.default_rng(4)
-    x_dev = jnp.asarray((rng.standard_normal((1, in_sr * secs)) * 0.1)
-                        .astype(np.float32))
-
-    fn = pipe._fused_process(None, False, in_sr, 48000, 1)
+    fn = pipe._fused_process(None, False, 16000, 48000, 1)
     red = jax.jit(lambda p, x: fn(p, x).sum())
     _sync(red(pipe.params, x_dev))          # compile + settle
-
     best_dt = float("inf")
-    for _ in range(3):
+    for _ in range(rounds):
         t0 = time.time()
         _sync(red(pipe.params, x_dev))
         best_dt = min(best_dt, time.time() - t0)
-    rtf = secs / best_dt
+    return secs / best_dt, best_dt, red
+
+
+def _emit_mfu(red, pipe, x_dev, best_dt: float, metric: str) -> None:
+    import jax  # noqa: F401
 
     try:
         ca = red.lower(pipe.params, x_dev).compile().cost_analysis()
@@ -379,10 +388,29 @@ def bench_device_pipeline(pipe, jnp) -> None:
         flops = float(ca.get("flops", 0.0))
         if flops > 0:
             mfu = 100.0 * flops / best_dt / _V5E_PEAK_FLOPS
-            _emit("flashsr_pipeline_mfu_pct", mfu, "pct_of_v5e_bf16_peak", 0.0)
+            _emit(metric, mfu, "pct_of_v5e_bf16_peak", 0.0)
     except Exception as e:
-        _emit("flashsr_pipeline_mfu_pct_failed", 0.0,
-              f"error:{type(e).__name__}", 0.0)
+        _emit(f"{metric}_failed", 0.0, f"error:{type(e).__name__}", 0.0)
+
+
+def bench_device_pipeline(pipe, jnp) -> None:
+    """Full-config timing standard: the fused pipeline (resample
+    16k->48k -> chunk -> batched forward -> WOLA stitch) as one
+    device-resident program at the FULL FlashSRConfig geometry
+    (random-init; the layout real converted checkpoints load into).
+    Comparable across rounds — r1-r3's flagship line.  Each round is
+    fully synced via a 4-byte reduction transfer; best of 3 reported
+    (the relay adds variable per-dispatch latency that is not device
+    work).  Also emits this program's MFU (XLA cost-analysis FLOPs /
+    wall / v5e bf16 peak)."""
+    in_sr = 16000
+    secs = 120
+    rng = np.random.default_rng(4)
+    x_dev = jnp.asarray((rng.standard_normal((1, in_sr * secs)) * 0.1)
+                        .astype(np.float32))
+
+    rtf, best_dt, red = _time_fused(pipe, jnp, x_dev, secs)
+    _emit_mfu(red, pipe, x_dev, best_dt, "flashsr_pipeline_mfu_pct")
 
     try:
         bench_istft_pipeline(pipe, jnp, x_dev, secs)
@@ -390,6 +418,27 @@ def bench_device_pipeline(pipe, jnp) -> None:
         _emit("flashsr_pipeline_istft_rtf_48k_failed", 0.0,
               f"error:{type(e).__name__}", 0.0)
 
+    _emit("flashsr_pipeline_fullcfg_rtf_48k", rtf, "x_realtime_per_chip",
+          rtf / 100.0)
+
+
+def bench_serving_pipeline(spipe, jnp) -> None:
+    """FLAGSHIP (emitted LAST): the fused device-resident pipeline with
+    the weights the node actually serves by default — the GATED shipped
+    istft trio (resolve_flashsr; LSD 4.91-5.73 on every eval seed,
+    pretrained_istft.json).  This is the north-star metric on the real
+    product path: quality-gated weights, everything in HBM (VERDICT r3
+    next #1: 'make the istft trio the flagship').  The full-config
+    timing standard stays as flashsr_pipeline_fullcfg_rtf_48k above."""
+    in_sr = 16000
+    secs = 120
+    rng = np.random.default_rng(4)
+    x_dev = jnp.asarray((rng.standard_normal((1, in_sr * secs)) * 0.1)
+                        .astype(np.float32))
+    rtf, best_dt, red = _time_fused(spipe, jnp, x_dev, secs)
+    _emit_mfu(red, spipe, x_dev, best_dt, "flashsr_serving_mfu_pct")
+    src = getattr(spipe, "weight_source", "?")
+    _emit(f"flashsr_serving_weights_{src}", 1.0, "provenance", 0.0)
     _emit("flashsr_pipeline_rtf_48k", rtf, "x_realtime_per_chip", rtf / 100.0)
 
 
@@ -471,9 +520,15 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from egregora_tpu.models.flashsr.distill import resolve_flashsr
     from egregora_tpu.models.flashsr.pipeline import FlashSRConfig, FlashSRPipeline
 
-    pipe = FlashSRPipeline(FlashSRConfig(), seed=0)
+    pipe = FlashSRPipeline(FlashSRConfig(), seed=0)   # full-config standard
+    # the default-served pipeline (gated shipped weights) — what the
+    # node/user path actually runs; node/fullchain/flagship lines use it
+    cfg_s, params_s, src = resolve_flashsr()
+    spipe = FlashSRPipeline(cfg_s, params=params_s)
+    spipe.weight_source = src
 
     for fn, args in ((bench_chunk_forward, (pipe, jnp)),
                      (bench_fatllama, (jnp,)),
@@ -481,15 +536,16 @@ def main() -> None:
                      (bench_nullsuite, (jnp,)),
                      (bench_rnnoise, (jnp,)),
                      (bench_dfn, (jnp,)),
-                     (bench_fullchain, (pipe, jnp)),
+                     (bench_fullchain, (spipe, jnp)),
                      (bench_link, (jnp,)),
-                     (bench_node_path, (pipe, jnp))):
+                     (bench_node_path, (spipe, jnp)),
+                     (bench_device_pipeline, (pipe, jnp))):
         try:
             fn(*args)
         except Exception as e:  # a sub-bench must not kill the flagship line
             _emit(f"{fn.__name__}_failed", 0.0, f"error:{type(e).__name__}", 0.0)
 
-    bench_device_pipeline(pipe, jnp)
+    bench_serving_pipeline(spipe, jnp)
 
 
 if __name__ == "__main__":

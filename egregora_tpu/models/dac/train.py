@@ -538,16 +538,19 @@ def guarded_finetune(model_type: str, steps: int, batch: int, length: int,
 
 def guarded_retrain(model_type: str, steps: int, batch: int, length: int,
                     lr: float, seed: int, scan_size: int, ae_frac: float,
-                    encoder_dim: int = 0, hop: int = 0) -> bool:
+                    encoder_dim: int = 0, hop: int = 0,
+                    codebook_dim: int = 0, decoder_dim: int = 0) -> bool:
     """Full from-scratch retrain at an (optionally) widened geometry,
     shipped only on four-draw gate improvement over the current npz.
 
     Motivation (round-3 continuation finding): on every model type the
     shipped VQ roundtrip SNR ~= the AE-only ceiling — the quantizer is
     NOT the binding constraint, the autoencoder is.  Fine-tuning the
-    RVQ therefore plateaus; the lever is AE capacity (``encoder_dim``)
-    and temporal resolution (``hop`` 64 via strides (2,4,4,2), the trade
-    that already lifted 16 kHz)."""
+    RVQ therefore plateaus; the levers are AE capacity (``encoder_dim``/
+    ``decoder_dim``), temporal resolution (``hop`` 64 via strides
+    (2,4,4,2), the trade that already lifted 16 kHz), and — once the AE
+    ceiling moves — quantizer rank (``codebook_dim``: 9 stages of rank
+    16 cap z_q at rank 144 against a 384-dim latent)."""
     shipped = load_pretrained(model_type)
     before = None
     if shipped is not None:
@@ -557,6 +560,10 @@ def guarded_retrain(model_type: str, steps: int, batch: int, length: int,
     import dataclasses as _dc
     if encoder_dim:
         cfg = _dc.replace(cfg, encoder_dim=encoder_dim)
+    if codebook_dim:
+        cfg = _dc.replace(cfg, codebook_dim=codebook_dim)
+    if decoder_dim:
+        cfg = _dc.replace(cfg, decoder_dim=decoder_dim)
     if hop:
         strides = {64: (2, 4, 4, 2), 128: (2, 4, 4, 4)}[hop]
         cfg = _dc.replace(cfg, strides=strides)
@@ -656,6 +663,10 @@ if __name__ == "__main__":
                     help="retrain geometry override (0 = keep default)")
     ap.add_argument("--hop", type=int, default=0, choices=(0, 64, 128),
                     help="retrain hop override via strides (0 = keep default)")
+    ap.add_argument("--codebook-dim", type=int, default=0,
+                    help="retrain RVQ stage rank override (0 = keep default)")
+    ap.add_argument("--decoder-dim", type=int, default=0,
+                    help="retrain decoder width override (0 = keep default)")
     a = ap.parse_args()
     if a.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -665,7 +676,8 @@ if __name__ == "__main__":
         if a.retrain:
             shipped = guarded_retrain(a.model_type, a.steps, a.batch,
                                       a.length, a.lr, a.seed, a.scan,
-                                      a.ae_frac, a.encoder_dim, a.hop)
+                                      a.ae_frac, a.encoder_dim, a.hop,
+                                      a.codebook_dim, a.decoder_dim)
         else:
             shipped = guarded_finetune(a.model_type, a.steps, a.batch,
                                        a.length, a.lr, a.seed, a.scan)

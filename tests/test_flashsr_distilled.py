@@ -76,17 +76,61 @@ def test_distill_resume_requires_weights(tmp_path):
 
 @needs_weights
 def test_resolve_flashsr_prefers_distilled(tmp_path, monkeypatch):
-    """With no converted checkpoints on disk the resolver must pick the
-    shipped distilled weights, not a random init."""
+    """With no converted checkpoints on disk the resolver must pick
+    shipped distilled weights — the istft trio by default (it gates
+    better and runs faster), the HiFi-GAN trio under
+    EGREGORA_FLASHSR_VARIANT=hifigan — never a random init."""
+    from egregora_tpu.models.flashsr.distill import PRETRAINED_ISTFT
+
     monkeypatch.setenv("EGREGORA_TPU_WEIGHTS", str(tmp_path))
     cfg, params, source = resolve_flashsr()
-    assert source == "distilled"
-    assert cfg.unet.base_channels == load_pretrained_with_cfg()[0].unet.base_channels
+    if PRETRAINED_ISTFT.exists():
+        assert source == "distilled-istft"
+        assert cfg.vocoder.kind == "istft"
+    else:
+        assert source == "distilled"
     n = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
-    assert n < 10_000_000            # compact trio, not the full config
+    assert n < 20_000_000            # compact trio, not the 112M full config
+
+    monkeypatch.setenv("EGREGORA_FLASHSR_VARIANT", "hifigan")
+    cfg, params, source = resolve_flashsr()
+    assert source == "distilled"
+    assert cfg.vocoder.kind == "hifigan"
+    assert cfg.unet.base_channels == load_pretrained_with_cfg()[0].unet.base_channels
 
 
 # ---------------- complex-spectrum ("istft") vocoder variant ----------------
+
+from egregora_tpu.models.flashsr.distill import PRETRAINED_ISTFT
+
+needs_istft = pytest.mark.skipif(not PRETRAINED_ISTFT.exists(),
+                                 reason="no shipped istft trio")
+
+
+@needs_istft
+def test_istft_trio_improves_lsd():
+    """The DEFAULT-served trio's quality gate — same bars as the
+    HiFi-GAN trio's (LSD < 7 absolute / SI-SDR > +4 on the seed-123
+    chunk pair).  Shipped metrics: LSD 4.95 / SI-SDR +8.42 here and
+    LSD 4.91-5.73 across all evaluate() seeds (pretrained_istft.json),
+    BEATING the HiFi-GAN trio — which is why resolve_flashsr serves it
+    by default (VERDICT r3 next #1)."""
+    from egregora_tpu.eval.metrics import lsd_sisdr_report
+
+    cfg, params = load_pretrained_with_cfg(PRETRAINED_ISTFT)
+    assert cfg.vocoder.kind == "istft"
+    pipe = FlashSRPipeline(cfg, params=params)
+    lr, hr = synth_pair_batch(jax.random.PRNGKey(123), 1, CHUNK_SAMPLES)
+    out = pipe._jit_forward(params, lr, lowpass_input=False)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+    rep_pt = lsd_sisdr_report(hr[0], lr[0])
+    rep_md = lsd_sisdr_report(hr[0], out[0])
+    lsd_pt, lsd_md = float(rep_pt["lsd_mean_db"]), float(rep_md["lsd_mean_db"])
+    sisdr_md = float(rep_md["si_sdr_db"])
+    assert lsd_md < 7.0, f"absolute LSD {lsd_md:.2f} dB >= 7 dB gate"
+    assert lsd_md < lsd_pt - 20.0, (lsd_md, lsd_pt)
+    assert sisdr_md > 4.0, f"SI-SDR {sisdr_md:.2f} dB below +4 dB guard"
 
 def test_spectral_vocoder_forward_and_cfg_roundtrip():
     import dataclasses as dc
@@ -140,8 +184,8 @@ def test_distill_vocoder_smoke(tmp_path, monkeypatch):
 
 
 def test_resolve_flashsr_variant_env(tmp_path, monkeypatch, capsys):
-    """EGREGORA_FLASHSR_VARIANT=istft prefers pretrained_istft.npz when
-    it ships, and falls back (loudly) to the default trio when not."""
+    """The istft trio serves by default when shipped; requesting it
+    explicitly while it's absent warns and falls back loudly."""
     import dataclasses as dc
 
     from egregora_tpu.models.flashsr import distill as dmod
@@ -151,13 +195,15 @@ def test_resolve_flashsr_variant_env(tmp_path, monkeypatch, capsys):
     monkeypatch.setenv("EGREGORA_TPU_WEIGHTS", str(tmp_path))  # no converted
     monkeypatch.setenv("EGREGORA_FLASHSR_VARIANT", "istft")
 
-    # absent istft trio -> warn + fall back to the default shipped trio
+    # absent istft trio -> warn + fall back to the HiFi-GAN shipped trio
     monkeypatch.setattr(dmod, "PRETRAINED_ISTFT", tmp_path / "absent.npz")
     cfg, params, source = dmod.resolve_flashsr()
     assert source in ("distilled", "random")
     assert "EGREGORA_FLASHSR_VARIANT" in capsys.readouterr().out
 
-    # shipped istft trio -> selected, istft geometry round-trips
+    # shipped istft trio -> selected BY DEFAULT (no env), geometry
+    # round-trips through the self-describing npz
+    monkeypatch.delenv("EGREGORA_FLASHSR_VARIANT")
     icfg = dc.replace(dmod.distilled_config(),
                       vocoder=VocoderConfig(kind="istft", hidden=32, depth=1))
     ipath = tmp_path / "pretrained_istft.npz"

@@ -1,0 +1,89 @@
+"""Per-stage device timing of the FULL-config FlashSR pipeline (MFU work).
+
+Times each pipeline stage as its own jitted program on a B=8 chunk
+batch, calibrated against a null program (the relay adds ~37-60 ms of
+fixed dispatch overhead to every measurement; CLAUDE.md).  Run on the
+TPU: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_stages.py
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egregora_tpu.models.flashsr.mel import log_mel
+from egregora_tpu.models.flashsr.pipeline import (CHUNK_SAMPLES, MEL_FRAMES,
+                                                  FlashSRConfig, FlashSRPipeline)
+from egregora_tpu.models.flashsr.vae import MelVAE
+
+
+def sync(a):
+    a.block_until_ready()
+    return float(np.asarray(a.reshape(-1)[:1])[0])
+
+
+def timeit(fn, *args, n=6):
+    sync(fn(*args))          # compile
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        sync(fn(*args))
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    b = 8
+    cfg = FlashSRConfig()
+    pipe = FlashSRPipeline(cfg, seed=0)
+    params = jax.device_put(pipe.params)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, CHUNK_SAMPLES)).astype(np.float32) * 0.1)
+
+    null = jax.jit(lambda v: v.sum())
+    overhead = timeit(null, x)
+    print(f"null-program dispatch overhead: {overhead*1e3:.1f} ms", flush=True)
+
+    mel = log_mel(x)[:, :MEL_FRAMES, :]
+    f_mel = jax.jit(lambda x: log_mel(x)[:, :MEL_FRAMES, :].sum())
+
+    modules = pipe.modules
+    f_enc = jax.jit(lambda p, m: modules.vae.apply(
+        p["vae"], m[..., None], method=MelVAE.encode).sum())
+    z = modules.vae.apply(params["vae"], mel[..., None], method=MelVAE.encode)
+    noise = jax.random.normal(jax.random.PRNGKey(0), z.shape, jnp.float32)
+    zi = jnp.concatenate([noise, z], axis=-1)
+    t1 = jnp.ones((b,), jnp.float32)
+    f_unet = jax.jit(lambda p, zi, t: modules.unet.apply(
+        p["student_ldm"], zi, t).sum())
+    zh = modules.unet.apply(params["student_ldm"], zi, t1)
+    f_dec = jax.jit(lambda p, zh: modules.vae.apply(
+        p["vae"], zh, method=MelVAE.decode).sum())
+    mel_hr = modules.vae.apply(params["vae"], zh, method=MelVAE.decode)[..., 0]
+
+    from egregora_tpu.models.flashsr.vocoder import apply_fused
+    f_voc = jax.jit(lambda p, m: apply_fused(p["sr_vocoder"], m,
+                                             cfg.vocoder).sum())
+    f_voc_xla = jax.jit(lambda p, m: modules.vocoder.apply(
+        p["sr_vocoder"], m).sum())
+    wav = apply_fused(params["sr_vocoder"], mel_hr, cfg.vocoder)[:, :CHUNK_SAMPLES]
+    f_post = jax.jit(lambda x, w, m: pipe._postprocess(x, w, m).sum())
+
+    rows = [
+        ("log_mel", timeit(f_mel, x)),
+        ("vae_encode", timeit(f_enc, params, mel)),
+        ("unet", timeit(f_unet, params, zi, t1)),
+        ("vae_decode", timeit(f_dec, params, zh)),
+        ("vocoder_fused", timeit(f_voc, params, mel_hr)),
+        ("vocoder_xla", timeit(f_voc_xla, params, mel_hr)),
+        ("postprocess", timeit(f_post, x, wav, mel_hr)),
+    ]
+    full = jax.jit(lambda p, x: pipe.chunk_forward(p, x).sum())
+    rows.append(("FULL chunk_forward", timeit(full, params, x)))
+    for name, dt in rows:
+        print(f"{name:20s} {dt*1e3:8.1f} ms wall   {max(dt-overhead,0)*1e3:8.1f} ms over-null", flush=True)
+
+
+if __name__ == "__main__":
+    main()
