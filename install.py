@@ -20,20 +20,68 @@ import argparse
 import sys
 
 
-def check_deps() -> bool:
-    ok = True
-    for mod in ("jax", "flax", "optax", "numpy"):
+# (module, pip name, try --no-deps first) — the reference's _ensure list
+# (install.py:104-136).  --no-deps first for packages whose declared
+# dependency pins would drag a second torch/jax into the environment
+# (the reference does exactly this for deepfilternet, :117-119).
+REQUIRED_DEPS = (("jax", "jax", False), ("flax", "flax", False),
+                 ("optax", "optax", False), ("numpy", "numpy", False))
+OPTIONAL_DEPS = (("soundfile", "soundfile", False),
+                 ("matplotlib", "matplotlib", False),
+                 ("torch", "torch", True))
+
+
+def _ensure(mod: str, pip_name: str, try_no_deps: bool = False,
+            install: bool = False, runner=None) -> bool:
+    """Import ``mod``; optionally pip-install ``pip_name`` and retry
+    (reference ``_ensure``, install.py:35-61).  ``try_no_deps`` attempts
+    ``pip install --no-deps`` first so a package's own pins can't
+    replace the environment's torch/jax; a plain install follows only
+    if the import still fails.  ``runner`` injects the subprocess call
+    (tests).  Returns importability."""
+    import importlib
+    import subprocess
+
+    def importable() -> bool:
         try:
-            __import__(mod)
-            print(f"[deps] {mod}: ok")
-        except Exception as e:
-            print(f"[deps] {mod}: MISSING ({e})")
-            ok = False
-    for mod in ("soundfile", "matplotlib", "torch"):
-        try:
-            __import__(mod)
-            print(f"[deps] {mod}: ok (optional)")
+            importlib.import_module(mod)
+            return True
         except Exception:
+            return False
+
+    if importable():
+        return True
+    if not install:
+        return False
+    run = runner or (lambda args: subprocess.run(args).returncode)
+    base = [sys.executable, "-m", "pip", "install"]
+    attempts = ([base + ["--no-deps", pip_name], base + [pip_name]]
+                if try_no_deps else [base + [pip_name]])
+    for args in attempts:
+        try:
+            run(args)
+        except Exception as e:
+            print(f"[deps] pip install {pip_name} failed: {e}")
+            return False
+        importlib.invalidate_caches()
+        if importable():
+            return True
+    return importable()
+
+
+def check_deps(install: bool = False) -> bool:
+    ok = True
+    for mod, pip_name, no_deps in REQUIRED_DEPS:
+        if _ensure(mod, pip_name, no_deps, install=install):
+            print(f"[deps] {mod}: ok")
+        else:
+            print(f"[deps] {mod}: MISSING"
+                  + ("" if install else " (re-run with --install-deps)"))
+            ok = False
+    for mod, pip_name, no_deps in OPTIONAL_DEPS:
+        if _ensure(mod, pip_name, no_deps, install=install):
+            print(f"[deps] {mod}: ok (optional)")
+        else:
             print(f"[deps] {mod}: absent (optional; degraded gracefully)")
     return ok
 
@@ -115,8 +163,11 @@ def main(argv=None) -> int:
     ap.add_argument("--skip-warmup", action="store_true")
     ap.add_argument("--offline", action="store_true",
                     help="skip the weight fetch attempt")
+    ap.add_argument("--install-deps", action="store_true",
+                    help="pip-install missing dependencies (reference "
+                         "install.py behavior; default only checks)")
     args = ap.parse_args(argv)
-    ok = check_deps()
+    ok = check_deps(install=args.install_deps)
     build_native()
     check_weights(fetch=not args.offline)
     if not args.skip_warmup:

@@ -161,3 +161,40 @@ def test_auto_fetch_attempts_once_per_process(http_root, tmp_path, monkeypatch):
                         lambda *a, **k: calls.append(1) or ("x",))
     assert auto_fetch_flashsr(d2) is False
     assert calls == []                  # memoized, no second attempt
+
+
+# ---------------- installer dependency-ensure analog ----------------
+
+def test_install_ensure_no_deps_chain(monkeypatch):
+    """The reference's _ensure semantics (install.py:35-61, 117-119):
+    importable module -> no pip call; missing module with
+    try_no_deps -> pip install --no-deps first, plain install second;
+    install=False never shells out."""
+    import sys as _sys
+
+    sys_path = str(Path(__file__).resolve().parents[1])
+    if sys_path not in _sys.path:
+        _sys.path.insert(0, sys_path)
+    import install as inst
+
+    calls = []
+
+    def runner(args):
+        calls.append(args)
+        return 0
+
+    # importable: no pip call
+    assert inst._ensure("json", "json", install=True, runner=runner)
+    assert calls == []
+
+    # missing, check-only: no pip call, returns False
+    assert not inst._ensure("definitely_not_a_module_xyz", "pkg-xyz",
+                            install=False, runner=runner)
+    assert calls == []
+
+    # missing, install + try_no_deps: --no-deps attempt then plain
+    assert not inst._ensure("definitely_not_a_module_xyz", "pkg-xyz",
+                            try_no_deps=True, install=True, runner=runner)
+    assert len(calls) == 2
+    assert calls[0][-2:] == ["--no-deps", "pkg-xyz"]
+    assert calls[1][-1] == "pkg-xyz" and "--no-deps" not in calls[1]
