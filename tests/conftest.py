@@ -22,6 +22,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA:CPU compile cache (same workspace dir the multichip
+# dryrun uses): the suite is compile-dominated on this 1-core box, and
+# most tests re-jit the same tiny programs every session.  Keyed by HLO
+# hash + flags, so geometry changes recompile as usual.
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache")
+try:
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
