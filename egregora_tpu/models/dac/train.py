@@ -73,7 +73,8 @@ def _stft_l2(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return total
 
 
-def loss_fn(model: DACModel, params: dict, wav: jnp.ndarray) -> jnp.ndarray:
+def loss_fn(model: DACModel, params: dict, wav: jnp.ndarray,
+            stft_w: float = 0.25) -> jnp.ndarray:
     """``wav [B, T]`` -> scalar.  Encoder/RVQ-ST/decoder roundtrip.
 
     ``scale_reg`` anchors the encoder's output RMS at 1: without it the
@@ -97,11 +98,12 @@ def loss_fn(model: DACModel, params: dict, wav: jnp.ndarray) -> jnp.ndarray:
     # measurably stalled the AE (held-out SNR plateaued ~+0.4 dB by step
     # 2.5k; the round-2 pure-L2 probe reached +4.6 dB in 800 steps) —
     # the log-mag term's noise-floor gradients fight the waveform fit
-    return (40.0 * wave_l2 + 0.25 * _stft_l2(rec, wav) + 0.25 * commit
+    return (40.0 * wave_l2 + stft_w * _stft_l2(rec, wav) + 0.25 * commit
             + codebook + latent_match + 0.5 * scale_reg)
 
 
-def ema_loss_fn(model: DACModel, params: dict, wav: jnp.ndarray):
+def ema_loss_fn(model: DACModel, params: dict, wav: jnp.ndarray,
+                stft_w: float = 0.25):
     """EMA-phase objective: ``loss_fn`` WITHOUT the codebook gradient
     term — EMA cluster statistics move the codebooks (VQ-VAE/Jukebox
     style), which held utilization high where the round-2 gradient
@@ -116,7 +118,7 @@ def ema_loss_fn(model: DACModel, params: dict, wav: jnp.ndarray):
     scale_reg = jnp.square(rms - 1.0)
     denom_z = jax.lax.stop_gradient(jnp.mean(jnp.square(z))) + 1e-6
     latent_match = jnp.mean(jnp.square(z_q - jax.lax.stop_gradient(z))) / denom_z
-    loss = (40.0 * wave_l2 + 0.25 * _stft_l2(rec, wav) + 0.25 * commit
+    loss = (40.0 * wave_l2 + stft_w * _stft_l2(rec, wav) + 0.25 * commit
             + latent_match + 0.5 * scale_reg)
     return loss, (codes, r_stack)
 
@@ -247,16 +249,24 @@ def make_eval_snr(model: DACModel, n: int = 4, length: int = None,
     return ev
 
 
-def ae_loss_fn(model: DACModel, params: dict, wav: jnp.ndarray) -> jnp.ndarray:
+def ae_loss_fn(model: DACModel, params: dict, wav: jnp.ndarray,
+               stft_w: float = 0.25) -> jnp.ndarray:
     """Phase-A objective: plain encoder->decoder reconstruction (no
     quantizer in the path).  The RVQ only trains well against a latent
     that already carries the signal; training it jointly from scratch
-    collapsed every codebook to one entry."""
+    collapsed every codebook to one entry.
+
+    ``stft_w``: the round-4 overfit probes localized the AE's +9 dB
+    memorization stall in this term — at 0.25 the log-mag noise-floor
+    gradients dominate the 40*wave_l2 gradient budget (the wave term
+    contributes ~0.05 of a 0.42 loss at the stall); the pure-L2 probe
+    blew past +15 dB in 2.5k steps on the identical geometry."""
     z = model.encoder.apply(params["encoder"], wav[..., None])
     rec = model.decoder.apply(params["decoder"], z)[:, : wav.shape[-1]]
     wave_l2 = jnp.mean(jnp.square(rec - wav))
     rms = jnp.sqrt(jnp.mean(jnp.square(z)) + 1e-9)
-    return 40.0 * wave_l2 + 0.25 * _stft_l2(rec, wav) + 0.5 * jnp.square(rms - 1.0)
+    return (40.0 * wave_l2 + stft_w * _stft_l2(rec, wav)
+            + 0.5 * jnp.square(rms - 1.0))
 
 
 def init_codebooks_from_data(model: DACModel, params: dict,
@@ -374,7 +384,8 @@ def _run_phase(model, params, tag, loss, steps, batch, length, lr, key,
 def train(cfg: DACConfig = None, steps: int = 2000, batch: int = 8,
           length: int = 16384, lr: float = 3e-4, seed: int = 0,
           log_every: int = 100, scan_size: int = 1, ae_frac: float = 0.5,
-          model_type: str = "44khz", eval_every: bool = True):
+          model_type: str = "44khz", eval_every: bool = True,
+          stft_w: float = 0.25):
     """Two-phase distillation: (A) plain autoencoder until the latent
     carries the signal, then data-dependent codebook init, then (B) VQ
     training with EMA codebook updates + continuous dead-code restarts.
@@ -401,7 +412,9 @@ def train(cfg: DACConfig = None, steps: int = 2000, batch: int = 8,
 
     proj_steps = max(scan_size, int(round(steps * 0.1)))
     key, ka, kc, kp, kb = jax.random.split(key, 5)
-    params = _run_phase(model, params, "ae", ae_loss_fn, ae_steps, batch,
+    ae_l = functools.partial(ae_loss_fn, stft_w=stft_w)
+    ema_l = functools.partial(ema_loss_fn, stft_w=stft_w)
+    params = _run_phase(model, params, "ae", ae_l, ae_steps, batch,
                         length, lr, ka, scan_size, log_every, eval_fn=ev_ae)
     _, warm = synth_pair_batch(kc, batch, length, sr=cfg.sample_rate)
     params = init_codebooks_from_data(model, params, warm, seed=seed)
@@ -411,7 +424,7 @@ def train(cfg: DACConfig = None, steps: int = 2000, batch: int = 8,
     params = _run_phase(model, params, "proj", proj_loss_fn, proj_steps,
                         batch, length, lr * 0.5, kp, scan_size, log_every,
                         use_ema=True, eval_fn=ev, rvq_only=True)
-    params = _run_phase(model, params, "vq", None,
+    params = _run_phase(model, params, "vq", ema_l,
                         steps - ae_steps - proj_steps, batch,
                         length, lr * 0.5, kb, scan_size, log_every,
                         use_ema=True, eval_fn=ev,
@@ -421,7 +434,8 @@ def train(cfg: DACConfig = None, steps: int = 2000, batch: int = 8,
 
 def finetune(model_type: str = "44khz", steps: int = 6000, batch: int = 8,
              length: int = 16384, lr: float = 5e-5, seed: int = 10,
-             scan_size: int = 1, log_every: int = 100):
+             scan_size: int = 1, log_every: int = 100,
+             stft_w: float = 0.25):
     """Continue the VQ phase from the shipped codec (the FlashSR
     ``--resume`` analog): geometry + params load from the npz, the EMA
     codebook state re-derives from the loaded codebooks
@@ -438,7 +452,9 @@ def finetune(model_type: str = "44khz", steps: int = 6000, batch: int = 8,
           f"{PRETRAINED[model_type]}", flush=True)
     ev = make_eval_snr(model, length=min(length, cfg.sample_rate))
     ckpt = PRETRAINED[model_type].with_suffix(".ckpt.npz")
-    params = _run_phase(model, params, "ft", None, steps, batch, length, lr,
+    params = _run_phase(model, params, "ft",
+                        functools.partial(ema_loss_fn, stft_w=stft_w),
+                        steps, batch, length, lr,
                         jax.random.PRNGKey(seed), scan_size, log_every,
                         use_ema=True, eval_fn=ev,
                         ckpt_path=ckpt, ckpt_every=3000)
@@ -517,7 +533,8 @@ def _guarded_ship(model_type: str, before: dict, model: DACModel,
 
 
 def guarded_finetune(model_type: str, steps: int, batch: int, length: int,
-                     lr: float, seed: int, scan_size: int) -> bool:
+                     lr: float, seed: int, scan_size: int,
+                     stft_w: float = 0.25) -> bool:
     """Fine-tune the shipped codec and ship ONLY on gate improvement:
     the official four-draw gate (mean + worst-draw SNR) must not regress.
     A run that polishes the mean while sinking the worst draw — or the
@@ -532,14 +549,15 @@ def guarded_finetune(model_type: str, steps: int, batch: int, length: int,
     print(f"[dac-guarded:{model_type}] BEFORE gate: {before}", flush=True)
     model, params = finetune(model_type=model_type, steps=steps, batch=batch,
                              length=length, lr=lr, seed=seed,
-                             scan_size=scan_size)
+                             scan_size=scan_size, stft_w=stft_w)
     return _guarded_ship(model_type, before, model, params)
 
 
 def guarded_retrain(model_type: str, steps: int, batch: int, length: int,
                     lr: float, seed: int, scan_size: int, ae_frac: float,
                     encoder_dim: int = 0, hop: int = 0,
-                    codebook_dim: int = 0, decoder_dim: int = 0) -> bool:
+                    codebook_dim: int = 0, decoder_dim: int = 0,
+                    stft_w: float = 0.25) -> bool:
     """Full from-scratch retrain at an (optionally) widened geometry,
     shipped only on four-draw gate improvement over the current npz.
 
@@ -571,7 +589,8 @@ def guarded_retrain(model_type: str, steps: int, batch: int, length: int,
           f"encoder_dim={cfg.encoder_dim} strides={cfg.strides}", flush=True)
     model, params = train(cfg=cfg, steps=steps, batch=batch, length=length,
                           lr=lr, seed=seed, scan_size=scan_size,
-                          ae_frac=ae_frac, model_type=model_type)
+                          ae_frac=ae_frac, model_type=model_type,
+                          stft_w=stft_w)
     if before is None:
         save_pretrained(params, PRETRAINED[model_type], cfg=model.cfg)
         print(f"[dac-guarded:{model_type}] SHIPPED (no incumbent)", flush=True)
@@ -667,6 +686,10 @@ if __name__ == "__main__":
                     help="retrain RVQ stage rank override (0 = keep default)")
     ap.add_argument("--decoder-dim", type=int, default=0,
                     help="retrain decoder width override (0 = keep default)")
+    ap.add_argument("--stft-w", type=float, default=0.25,
+                    help="weight of the multi-res STFT loss term (round-4 "
+                         "overfit probes: 0.25 binds the AE at +9 dB; "
+                         "~0.05-0.1 trades a little LSD for waveform SNR)")
     a = ap.parse_args()
     if a.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -677,19 +700,23 @@ if __name__ == "__main__":
             shipped = guarded_retrain(a.model_type, a.steps, a.batch,
                                       a.length, a.lr, a.seed, a.scan,
                                       a.ae_frac, a.encoder_dim, a.hop,
-                                      a.codebook_dim, a.decoder_dim)
+                                      a.codebook_dim, a.decoder_dim,
+                                      stft_w=a.stft_w)
         else:
             shipped = guarded_finetune(a.model_type, a.steps, a.batch,
-                                       a.length, a.lr, a.seed, a.scan)
+                                       a.length, a.lr, a.seed, a.scan,
+                                       stft_w=a.stft_w)
         sys.exit(0 if shipped else 3)
     if a.finetune:
         model, params = finetune(model_type=a.model_type, steps=a.steps,
                                  batch=a.batch, length=a.length, lr=a.lr,
-                                 seed=a.seed, scan_size=a.scan)
+                                 seed=a.seed, scan_size=a.scan,
+                                 stft_w=a.stft_w)
     else:
         model, params = train(steps=a.steps, batch=a.batch, length=a.length,
                               lr=a.lr, seed=a.seed, scan_size=a.scan,
-                              ae_frac=a.ae_frac, model_type=a.model_type)
+                              ae_frac=a.ae_frac, model_type=a.model_type,
+                              stft_w=a.stft_w)
     from ..flashsr.distill import synth_pair_batch
     sr = model.cfg.sample_rate
     _, hr = synth_pair_batch(jax.random.PRNGKey(99), 4, sr, sr=sr)
