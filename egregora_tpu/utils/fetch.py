@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import sys
 import urllib.error
 import urllib.request
 from pathlib import Path
@@ -84,10 +85,12 @@ def download(url: str, dest: Path, *, sha256: Optional[str] = None,
                 f.write(chunk)
                 done += len(chunk)
                 if progress:
+                    # stderr: callers like bench.py reserve stdout for
+                    # machine-readable JSON lines
                     print(f"\r[egregora_tpu] {dest.name}: {done / 1e6:.1f} MB",
-                          end="", flush=True)
+                          end="", flush=True, file=sys.stderr)
     if progress:
-        print(flush=True)
+        print(flush=True, file=sys.stderr)
     if sha256 is not None and _sha256(part) != sha256.lower():
         part.unlink()
         raise ChecksumError(
@@ -166,7 +169,7 @@ def fetch_flashsr_weights(ckpt_dir: Optional[Path] = None,
             except Exception as e:          # offline / 404 / DNS: degrade
                 print(f"[egregora_tpu] fetch {fname} failed "
                       f"({type(e).__name__}: {e}); place it manually in {d} "
-                      f"(source: HF dataset {repo})")
+                      f"(source: HF dataset {repo})", file=sys.stderr)
                 still.append(fname)
                 continue
     if not still:
