@@ -82,6 +82,43 @@ def main():
     full = jax.jit(lambda p, x: pipe.chunk_forward(p, x).sum())
     rows.append(("FULL chunk_forward", timeit(full, params, x)))
 
+    # --- vocoder substages (full config): which stage dominates?  The
+    # C<=64 MRFs run the fused Pallas kernel; C=128/256 stay XLA NWC
+    # convs — this decides whether wide-C fusion (VERDICT r3 #5) pays. ---
+    import flax.linen as nn_
+
+    from egregora_tpu.models.flashsr.vocoder import MRF
+    vc = cfg.vocoder
+    vp = params["sr_vocoder"]["params"]
+    h = nn_.Conv(vc.upsample_initial, (7,), dtype=vc.dtype).apply(
+        {"params": vp["Conv_0"]}, mel_hr)
+    ch = vc.upsample_initial
+    for i, (f, k) in enumerate(zip(vc.upsample_factors, vc.upsample_kernels)):
+        ch = max(ch // 2, vc.channel_floor)
+        ct = nn_.ConvTranspose(ch, (k,), strides=(f,), dtype=vc.dtype)
+        cparams = {"params": vp[f"ConvTranspose_{i}"]}
+        f_ct = jax.jit(lambda p, h, ct=ct: ct.apply(p, nn_.leaky_relu(h, 0.1)).sum())
+        rows.append((f"voc_convT_{i} C{ch}", timeit(f_ct, cparams, h)))
+        h = ct.apply(cparams, nn_.leaky_relu(h, 0.1))
+        mrf = MRF(ch, vc.resblock_kernels, vc.resblock_dilations, vc.dtype)
+        mparams = {"params": vp[f"MRF_{i}"]}
+        f_mrf = jax.jit(lambda p, h, mrf=mrf: mrf.apply(p, h).sum())
+        rows.append((f"voc_mrf_{i} C{ch} xla", timeit(f_mrf, mparams, h)))
+        if ch <= 64:
+            from egregora_tpu.ops.mrf_pallas import (mrf_fused_cm,
+                                                     pack_resblock_weights)
+            w = pack_resblock_weights(vp[f"MRF_{i}"], vc.resblock_kernels,
+                                      vc.resblock_dilations[0], dtype=vc.dtype)
+            f_mrfp = jax.jit(lambda hcm, w=tuple(w): mrf_fused_cm(
+                hcm, list(w), kernels=vc.resblock_kernels,
+                dilations=vc.resblock_dilations[0]).sum())
+            hcm = jnp.swapaxes(h.astype(vc.dtype), -1, -2)
+            rows.append((f"voc_mrf_{i} C{ch} plls", timeit(f_mrfp, hcm)))
+        h = mrf.apply(mparams, h)
+    f_post2 = jax.jit(lambda p, h: jnp.tanh(nn_.Conv(1, (7,), dtype=vc.dtype)
+                      .apply(p, nn_.leaky_relu(h, 0.1)).astype(jnp.float32)).sum())
+    rows.append(("voc_postconv", timeit(f_post2, {"params": vp["Conv_1"]}, h)))
+
     # --- the default-SERVED topology (istft vocoder trio) ---
     import dataclasses as dc
 
@@ -95,6 +132,14 @@ def main():
     rows.append(("vocoder_istft", timeit(f_ivoc, iparams, mel_hr)))
     ifull = jax.jit(lambda p, x: ipipe.chunk_forward(p, x).sum())
     rows.append(("FULL istft chunk_fwd", timeit(ifull, iparams, x)))
+    from egregora_tpu.ops.stft import istft_dense
+    nfft = icfg.vocoder.istft_nfft
+    nb = nfft // 2 + 1
+    sr_ = jax.random.normal(jax.random.PRNGKey(3),
+                            (b, mel_hr.shape[1], nb), jnp.float32)
+    si_ = jax.random.normal(jax.random.PRNGKey(4), sr_.shape, jnp.float32)
+    f_id = jax.jit(lambda a, c: istft_dense(a, c, nfft, 480).sum())
+    rows.append(("istft_dense alone", timeit(f_id, sr_, si_)))
 
     for name, dt in rows:
         print(f"{name:20s} {dt*1e3:8.1f} ms wall   {max(dt-overhead,0)*1e3:8.1f} ms over-null", flush=True)
