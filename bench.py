@@ -256,11 +256,15 @@ def bench_rnnoise(jnp, secs: int = 60) -> None:
     run = jax.jit(lambda p, x: denoise(p, x)[0])
     _sync(run(params, x))                   # compile
     best = 0.0
+    best_dt = float("inf")
     for _ in range(2):
         t0 = time.time()
         _sync(run(params, x))
         dt = time.time() - t0
+        best_dt = min(best_dt, dt)
         best = max(best, secs / dt)
+    _emit_cost_mfu(lambda: run.lower(params, x).compile().cost_analysis(),
+                   best_dt, "rnnoise_mfu_pct")
     _emit("rnnoise_rtf_48k", best, "x_realtime_per_chip", 0.0)
 
 
@@ -284,10 +288,15 @@ def bench_dfn(jnp, secs: int = 60) -> None:
     run = jax.jit(lambda p, x: enhance(p, x, cfg))
     _sync(run(params, x))                   # compile
     best = 0.0
+    best_dt = float("inf")
     for _ in range(2):
         t0 = time.time()
         _sync(run(params, x))
-        best = max(best, secs / (time.time() - t0))
+        dt = time.time() - t0
+        best_dt = min(best_dt, dt)
+        best = max(best, secs / dt)
+    _emit_cost_mfu(lambda: run.lower(params, x).compile().cost_analysis(),
+                   best_dt, "dfn2_mfu_pct")
     _emit("dfn2_rtf_48k", best, "x_realtime_per_chip", 0.0)
 
 
@@ -346,21 +355,29 @@ def bench_fullchain(pipe, jnp, secs: int = 30) -> None:
         dt = time.time() - t0
         best_dt = min(best_dt, dt)
         best = max(best, secs / dt)
-    try:
-        ca = chain.lower(pipe.params, x16).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        if flops > 0:
-            _emit("fullchain_mfu_pct", 100.0 * flops / best_dt / _V5E_PEAK_FLOPS,
-                  "pct_of_v5e_bf16_peak", 0.0)
-    except Exception as e:
-        _emit("fullchain_mfu_pct_failed", 0.0, f"error:{type(e).__name__}", 0.0)
+    _emit_cost_mfu(lambda: chain.lower(pipe.params, x16).compile()
+                   .cost_analysis(), best_dt, "fullchain_mfu_pct")
     _emit("fullchain_rtf_96k", best, "x_realtime_per_chip", 0.0)
 
 
 # TPU v5e (v5 lite) peak dense bf16 throughput per chip.
 _V5E_PEAK_FLOPS = 197e12
+
+
+def _emit_cost_mfu(cost_analysis_fn, best_dt: float, metric: str) -> None:
+    """MFU line from an XLA cost analysis (flops / wall / v5e bf16
+    peak); failures emit a parseable `<metric>_failed` line instead of
+    killing the bench."""
+    try:
+        ca = cost_analysis_fn()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            _emit(metric, 100.0 * flops / best_dt / _V5E_PEAK_FLOPS,
+                  "pct_of_v5e_bf16_peak", 0.0)
+    except Exception as e:
+        _emit(f"{metric}_failed", 0.0, f"error:{type(e).__name__}", 0.0)
 
 
 def _time_fused(pipe, jnp, x_dev, secs: int, rounds: int = 3):
@@ -379,18 +396,8 @@ def _time_fused(pipe, jnp, x_dev, secs: int, rounds: int = 3):
 
 
 def _emit_mfu(red, pipe, x_dev, best_dt: float, metric: str) -> None:
-    import jax  # noqa: F401
-
-    try:
-        ca = red.lower(pipe.params, x_dev).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        if flops > 0:
-            mfu = 100.0 * flops / best_dt / _V5E_PEAK_FLOPS
-            _emit(metric, mfu, "pct_of_v5e_bf16_peak", 0.0)
-    except Exception as e:
-        _emit(f"{metric}_failed", 0.0, f"error:{type(e).__name__}", 0.0)
+    _emit_cost_mfu(lambda: red.lower(pipe.params, x_dev).compile()
+                   .cost_analysis(), best_dt, metric)
 
 
 def bench_device_pipeline(pipe, jnp) -> None:
