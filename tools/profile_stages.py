@@ -122,7 +122,6 @@ def main():
     # --- the default-SERVED topology (istft vocoder trio) ---
     import dataclasses as dc
 
-    from egregora_tpu.models.flashsr.pipeline import FlashSRPipeline
     from egregora_tpu.models.flashsr.vocoder import VocoderConfig
     icfg = dc.replace(cfg, vocoder=VocoderConfig(kind="istft"))
     ipipe = FlashSRPipeline(icfg, seed=0)
