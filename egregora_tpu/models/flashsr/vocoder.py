@@ -191,8 +191,11 @@ def apply_fused(variables: dict, mel: jnp.ndarray,
     modules (bit-identical weights application); activations transpose
     to ``[B, C, T]`` around each MRF.
     """
+    import os
+
     import flax.linen as nn_
 
+    from ...ops.mrf_dense import mrf_dense_cm
     from ...ops.mrf_pallas import mrf_fused_cm, pack_resblock_weights
 
     p = variables["params"]
@@ -224,9 +227,17 @@ def apply_fused(variables: dict, mel: jnp.ndarray,
             w = pack_resblock_weights(p[f"MRF_{i}"], c.resblock_kernels,
                                       c.resblock_dilations[0], dtype=c.dtype)
             h_cm = jnp.swapaxes(h.astype(c.dtype), -1, -2)  # [B, C, T]
-            h_cm = mrf_fused_cm(h_cm, w, kernels=c.resblock_kernels,
-                                dilations=c.resblock_dilations[0],
-                                interpret=interpret)
+            # EGREGORA_MRF_PATH selects the channel-major engine:
+            # "pallas" (fused Mosaic kernel) or "dense" (static-slice
+            # XLA, ops/mrf_dense.py).  The kernel lab measures both at
+            # stage-2 geometry (tools/mrf_kernel_lab.py).
+            if os.environ.get("EGREGORA_MRF_PATH", "pallas") == "dense":
+                h_cm = mrf_dense_cm(h_cm, w, kernels=c.resblock_kernels,
+                                    dilations=c.resblock_dilations[0])
+            else:
+                h_cm = mrf_fused_cm(h_cm, w, kernels=c.resblock_kernels,
+                                    dilations=c.resblock_dilations[0],
+                                    interpret=interpret)
             h = jnp.swapaxes(h_cm, -1, -2)
         else:
             h = MRF(ch, c.resblock_kernels, c.resblock_dilations,

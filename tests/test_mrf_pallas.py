@@ -84,6 +84,34 @@ def test_tiling_invariance_and_halo():
     assert branch_halo(3, dils) == 12
 
 
+def test_mrf_dense_matches_pallas_and_module(monkeypatch):
+    """ops/mrf_dense.mrf_dense_cm is a drop-in for the Pallas kernel
+    (same weight list, same zero-padded semantics); apply_fused with
+    EGREGORA_MRF_PATH=dense must match the flax module too."""
+    from egregora_tpu.ops.mrf_dense import mrf_dense_cm
+
+    c, t = 8, 384
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, c, t)).astype(np.float32))
+    kernels, dils = (3, 7, 11), (1, 3, 5)
+    weights = []
+    for k in kernels:
+        for _ in dils:
+            w1 = rng.standard_normal((k * c, c)).astype(np.float32) * 0.2
+            w2 = rng.standard_normal((k * c, c)).astype(np.float32) * 0.2
+            b1 = rng.standard_normal((c, 1)).astype(np.float32) * 0.1
+            b2 = rng.standard_normal((c, 1)).astype(np.float32) * 0.1
+            weights.append(tuple(jnp.asarray(a) for a in (w1, b1, w2, b2)))
+    ref = mrf_fused_cm(x, weights, kernels, dils, block_t=512, interpret=True)
+    got = mrf_dense_cm(x, weights, kernels, dils)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    monkeypatch.setenv("EGREGORA_MRF_PATH", "dense")
+    cfg = _cfg(jnp.float32)
+    _check_fused(cfg, jnp.float32, 2e-4)
+
+
 def test_pipeline_env_gate(monkeypatch):
     """EGREGORA_NO_FUSED_VOCODER forces the flax path; on CPU the fused
     path is off by default (pipeline._fused_vocoder_enabled)."""
