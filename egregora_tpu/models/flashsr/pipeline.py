@@ -105,13 +105,23 @@ class FlashSRModules:
 
 
 def _fused_vocoder_enabled() -> bool:
-    """Use the Pallas channel-major fused-MRF vocoder path on
-    accelerator backends (ops/mrf_pallas.py).  CPU keeps the flax
-    module path — same weights, same semantics (test-pinned), and the
-    multi-device CPU tests / dryrun exercise the sharded batch there.
-    ``EGREGORA_NO_FUSED_VOCODER=1`` forces the module path anywhere."""
+    """Whether the HiFi-GAN path routes MRFs through the Pallas fused
+    kernel (``vocoder.apply_fused``/ops/mrf_pallas.py) instead of the
+    flax module (same weights, same semantics — test-pinned).
+
+    Default is now OFF everywhere: the kernel's 4x advantage was
+    measured at C=16 stages (8x NWC lane padding); at the current
+    channel floor of 64 the round-4 kernel lab measured plain XLA NWC
+    *faster* (33.2 vs 38.3 ms over-null at stage-2 geometry, and
+    whole-vocoder 48.1 vs 56.6 — tools/mrf_kernel_lab.py), and the
+    module path carries no Mosaic compile risk.
+    ``EGREGORA_FUSED_VOCODER=1`` opts back in on accelerators (e.g.
+    for narrow-stage configs); ``EGREGORA_NO_FUSED_VOCODER=1`` still
+    forces the module path and wins when both are set."""
     import os
     if os.environ.get("EGREGORA_NO_FUSED_VOCODER"):
+        return False
+    if not os.environ.get("EGREGORA_FUSED_VOCODER"):
         return False
     return jax.devices()[0].platform not in ("cpu",)
 

@@ -113,9 +113,12 @@ def test_mrf_dense_matches_pallas_and_module(monkeypatch):
 
 
 def test_pipeline_env_gate(monkeypatch):
-    """EGREGORA_NO_FUSED_VOCODER forces the flax path; on CPU the fused
-    path is off by default (pipeline._fused_vocoder_enabled)."""
+    """The Pallas fused vocoder path is opt-in (EGREGORA_FUSED_VOCODER;
+    round-4 kernel lab measured plain XLA faster at channel floor 64),
+    never active on CPU, and EGREGORA_NO_FUSED_VOCODER always wins."""
     from egregora_tpu.models.flashsr import pipeline as P
-    assert P._fused_vocoder_enabled() in (False,)  # CPU test env
+    assert P._fused_vocoder_enabled() is False     # default OFF
+    monkeypatch.setenv("EGREGORA_FUSED_VOCODER", "1")
+    assert P._fused_vocoder_enabled() is False     # CPU test env
     monkeypatch.setenv("EGREGORA_NO_FUSED_VOCODER", "1")
-    assert P._fused_vocoder_enabled() is False
+    assert P._fused_vocoder_enabled() is False     # NO_ wins over opt-in
