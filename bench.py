@@ -40,7 +40,9 @@ number to compare against — BASELINE.json "published" is empty).
 from __future__ import annotations
 
 import json
+import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -558,6 +560,10 @@ def main() -> None:
             fn(*args)
         except Exception as e:  # a sub-bench must not kill the flagship line
             _emit(f"{fn.__name__}_failed", 0.0, f"error:{type(e).__name__}", 0.0)
+            # the JSON line only carries the type; put the evidence on
+            # stderr (the r4a fullchain HTTP-413 failure cost a
+            # reproduce-from-scratch to see the message)
+            traceback.print_exc(file=sys.stderr)
 
     bench_serving_pipeline(spipe, jnp)
 

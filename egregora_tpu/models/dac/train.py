@@ -73,8 +73,27 @@ def _stft_l2(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     return total
 
 
+def _lsd_db(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable copy of the QUALITY-GATE metric (eval/metrics.lsd
+    at n_fft 2048 / hop 512 / symmetric Hann): mean over frames of the
+    RMS-over-frequency dB error, in dB.  The multi-resolution log-mag L1
+    in ``_stft_l2`` optimizes a related but different quantity; shipping
+    is gated on THIS one (VERDICT r4 target: mean LSD <= 7.5), so give
+    the optimizer the actual yardstick.  Magnitude floor 1e-6 (vs the
+    metric's 1e-12) caps noise-floor dB errors at ~±120 dB so near-empty
+    bins can't dominate the square."""
+    from ...ops.stft import stft_conv
+    rx, ix = stft_conv(x, 2048, 512, window="hann")
+    ry, iy = stft_conv(y, 2048, 512, window="hann")
+    mx2 = rx * rx + ix * ix + 1e-12
+    my2 = ry * ry + iy * iy + 1e-12
+    d = 10.0 * (jnp.log10(mx2) - jnp.log10(my2))   # 20*log10 of mags
+    per = jnp.sqrt(jnp.mean(jnp.square(d), axis=-1) + 1e-9)
+    return jnp.mean(per)
+
+
 def loss_fn(model: DACModel, params: dict, wav: jnp.ndarray,
-            stft_w: float = 0.25) -> jnp.ndarray:
+            stft_w: float = 0.25, lsd_w: float = 0.0) -> jnp.ndarray:
     """``wav [B, T]`` -> scalar.  Encoder/RVQ-ST/decoder roundtrip.
 
     ``scale_reg`` anchors the encoder's output RMS at 1: without it the
@@ -98,12 +117,15 @@ def loss_fn(model: DACModel, params: dict, wav: jnp.ndarray,
     # measurably stalled the AE (held-out SNR plateaued ~+0.4 dB by step
     # 2.5k; the round-2 pure-L2 probe reached +4.6 dB in 800 steps) —
     # the log-mag term's noise-floor gradients fight the waveform fit
-    return (40.0 * wave_l2 + stft_w * _stft_l2(rec, wav) + 0.25 * commit
+    loss = (40.0 * wave_l2 + stft_w * _stft_l2(rec, wav) + 0.25 * commit
             + codebook + latent_match + 0.5 * scale_reg)
+    if lsd_w:
+        loss = loss + lsd_w * _lsd_db(wav, rec)
+    return loss
 
 
 def ema_loss_fn(model: DACModel, params: dict, wav: jnp.ndarray,
-                stft_w: float = 0.25):
+                stft_w: float = 0.25, lsd_w: float = 0.0):
     """EMA-phase objective: ``loss_fn`` WITHOUT the codebook gradient
     term — EMA cluster statistics move the codebooks (VQ-VAE/Jukebox
     style), which held utilization high where the round-2 gradient
@@ -120,6 +142,8 @@ def ema_loss_fn(model: DACModel, params: dict, wav: jnp.ndarray,
     latent_match = jnp.mean(jnp.square(z_q - jax.lax.stop_gradient(z))) / denom_z
     loss = (40.0 * wave_l2 + stft_w * _stft_l2(rec, wav) + 0.25 * commit
             + latent_match + 0.5 * scale_reg)
+    if lsd_w:
+        loss = loss + lsd_w * _lsd_db(wav, rec)
     return loss, (codes, r_stack)
 
 
@@ -250,7 +274,7 @@ def make_eval_snr(model: DACModel, n: int = 4, length: int = None,
 
 
 def ae_loss_fn(model: DACModel, params: dict, wav: jnp.ndarray,
-               stft_w: float = 0.25) -> jnp.ndarray:
+               stft_w: float = 0.25, lsd_w: float = 0.0) -> jnp.ndarray:
     """Phase-A objective: plain encoder->decoder reconstruction (no
     quantizer in the path).  The RVQ only trains well against a latent
     that already carries the signal; training it jointly from scratch
@@ -265,8 +289,11 @@ def ae_loss_fn(model: DACModel, params: dict, wav: jnp.ndarray,
     rec = model.decoder.apply(params["decoder"], z)[:, : wav.shape[-1]]
     wave_l2 = jnp.mean(jnp.square(rec - wav))
     rms = jnp.sqrt(jnp.mean(jnp.square(z)) + 1e-9)
-    return (40.0 * wave_l2 + stft_w * _stft_l2(rec, wav)
+    loss = (40.0 * wave_l2 + stft_w * _stft_l2(rec, wav)
             + 0.5 * jnp.square(rms - 1.0))
+    if lsd_w:
+        loss = loss + lsd_w * _lsd_db(wav, rec)
+    return loss
 
 
 def init_codebooks_from_data(model: DACModel, params: dict,
@@ -385,7 +412,7 @@ def train(cfg: DACConfig = None, steps: int = 2000, batch: int = 8,
           length: int = 16384, lr: float = 3e-4, seed: int = 0,
           log_every: int = 100, scan_size: int = 1, ae_frac: float = 0.5,
           model_type: str = "44khz", eval_every: bool = True,
-          stft_w: float = 0.25):
+          stft_w: float = 0.25, lsd_w: float = 0.0):
     """Two-phase distillation: (A) plain autoencoder until the latent
     carries the signal, then data-dependent codebook init, then (B) VQ
     training with EMA codebook updates + continuous dead-code restarts.
@@ -412,8 +439,8 @@ def train(cfg: DACConfig = None, steps: int = 2000, batch: int = 8,
 
     proj_steps = max(scan_size, int(round(steps * 0.1)))
     key, ka, kc, kp, kb = jax.random.split(key, 5)
-    ae_l = functools.partial(ae_loss_fn, stft_w=stft_w)
-    ema_l = functools.partial(ema_loss_fn, stft_w=stft_w)
+    ae_l = functools.partial(ae_loss_fn, stft_w=stft_w, lsd_w=lsd_w)
+    ema_l = functools.partial(ema_loss_fn, stft_w=stft_w, lsd_w=lsd_w)
     params = _run_phase(model, params, "ae", ae_l, ae_steps, batch,
                         length, lr, ka, scan_size, log_every, eval_fn=ev_ae)
     _, warm = synth_pair_batch(kc, batch, length, sr=cfg.sample_rate)
@@ -435,7 +462,7 @@ def train(cfg: DACConfig = None, steps: int = 2000, batch: int = 8,
 def finetune(model_type: str = "44khz", steps: int = 6000, batch: int = 8,
              length: int = 16384, lr: float = 5e-5, seed: int = 10,
              scan_size: int = 1, log_every: int = 100,
-             stft_w: float = 0.25):
+             stft_w: float = 0.25, lsd_w: float = 0.0):
     """Continue the VQ phase from the shipped codec (the FlashSR
     ``--resume`` analog): geometry + params load from the npz, the EMA
     codebook state re-derives from the loaded codebooks
@@ -453,7 +480,8 @@ def finetune(model_type: str = "44khz", steps: int = 6000, batch: int = 8,
     ev = make_eval_snr(model, length=min(length, cfg.sample_rate))
     ckpt = PRETRAINED[model_type].with_suffix(".ckpt.npz")
     params = _run_phase(model, params, "ft",
-                        functools.partial(ema_loss_fn, stft_w=stft_w),
+                        functools.partial(ema_loss_fn, stft_w=stft_w,
+                                          lsd_w=lsd_w),
                         steps, batch, length, lr,
                         jax.random.PRNGKey(seed), scan_size, log_every,
                         use_ema=True, eval_fn=ev,
@@ -505,16 +533,34 @@ def gate_metrics(model: DACModel, params) -> dict:
             "snrs": [round(float(s), 2) for s in snrs]}
 
 
+TARGETS = {"mean_snr": 8.0, "worst_snr": 4.0, "mean_lsd": 7.5}
+
+
+def _target_deficit(m: dict) -> float:
+    """Distance (in dB, summed) from the codec-quality targets: mean
+    roundtrip SNR >= +8, worst-draw SNR >= +4, mean LSD <= 7.5 (the
+    VERDICT r3 #6 bars).  0 means every target is met."""
+    return (max(0.0, TARGETS["mean_snr"] - m["mean_snr"])
+            + max(0.0, TARGETS["worst_snr"] - m["worst_snr"])
+            + max(0.0, m["mean_lsd"] - TARGETS["mean_lsd"]))
+
+
 def should_ship(before: dict, after: dict) -> bool:
-    """Ship criterion for guarded fine-tunes: the combined gate score
-    (mean + worst SNR) must improve, neither metric may fall near or
-    below its test gate (mean > 4.5, worst > 1.5 with margin), and the
-    LSD must stay clear of its 9.5 dB bar."""
-    better = (after["mean_snr"] + after["worst_snr"]
-              > before["mean_snr"] + before["worst_snr"])
+    """Ship criterion for guarded runs: the distance to the codec
+    quality targets (``_target_deficit``) must strictly shrink — so an
+    LSD win may spend SNR margin the targets don't need, but a mean-SNR
+    polish can't buy a worst-draw or LSD regression toward a bar.  Ties
+    (e.g. all targets already met) fall back to combined-SNR polish.
+    Safety floors: neither SNR metric may fall near or below its test
+    gate or drop > 0.3 dB, and LSD must stay clear of its 9.5 dB bar."""
+    d_before, d_after = _target_deficit(before), _target_deficit(after)
+    better = (d_after < d_before
+              or (d_after == d_before
+                  and after["mean_snr"] + after["worst_snr"]
+                  > before["mean_snr"] + before["worst_snr"]))
     safe = (after["worst_snr"] > max(1.8, before["worst_snr"] - 0.3)
             and after["mean_snr"] > max(4.8, before["mean_snr"] - 0.3)
-            and after["mean_lsd"] < 9.0)
+            and after["mean_lsd"] < min(9.0, before["mean_lsd"] + 0.3))
     return better and safe
 
 
@@ -534,7 +580,7 @@ def _guarded_ship(model_type: str, before: dict, model: DACModel,
 
 def guarded_finetune(model_type: str, steps: int, batch: int, length: int,
                      lr: float, seed: int, scan_size: int,
-                     stft_w: float = 0.25) -> bool:
+                     stft_w: float = 0.25, lsd_w: float = 0.0) -> bool:
     """Fine-tune the shipped codec and ship ONLY on gate improvement:
     the official four-draw gate (mean + worst-draw SNR) must not regress.
     A run that polishes the mean while sinking the worst draw — or the
@@ -549,7 +595,7 @@ def guarded_finetune(model_type: str, steps: int, batch: int, length: int,
     print(f"[dac-guarded:{model_type}] BEFORE gate: {before}", flush=True)
     model, params = finetune(model_type=model_type, steps=steps, batch=batch,
                              length=length, lr=lr, seed=seed,
-                             scan_size=scan_size, stft_w=stft_w)
+                             scan_size=scan_size, stft_w=stft_w, lsd_w=lsd_w)
     return _guarded_ship(model_type, before, model, params)
 
 
@@ -557,7 +603,7 @@ def guarded_retrain(model_type: str, steps: int, batch: int, length: int,
                     lr: float, seed: int, scan_size: int, ae_frac: float,
                     encoder_dim: int = 0, hop: int = 0,
                     codebook_dim: int = 0, decoder_dim: int = 0,
-                    stft_w: float = 0.25) -> bool:
+                    stft_w: float = 0.25, lsd_w: float = 0.0) -> bool:
     """Full from-scratch retrain at an (optionally) widened geometry,
     shipped only on four-draw gate improvement over the current npz.
 
@@ -590,7 +636,7 @@ def guarded_retrain(model_type: str, steps: int, batch: int, length: int,
     model, params = train(cfg=cfg, steps=steps, batch=batch, length=length,
                           lr=lr, seed=seed, scan_size=scan_size,
                           ae_frac=ae_frac, model_type=model_type,
-                          stft_w=stft_w)
+                          stft_w=stft_w, lsd_w=lsd_w)
     if before is None:
         save_pretrained(params, PRETRAINED[model_type], cfg=model.cfg)
         print(f"[dac-guarded:{model_type}] SHIPPED (no incumbent)", flush=True)
@@ -690,6 +736,10 @@ if __name__ == "__main__":
                     help="weight of the multi-res STFT loss term (round-4 "
                          "overfit probes: 0.25 binds the AE at +9 dB; "
                          "~0.05-0.1 trades a little LSD for waveform SNR)")
+    ap.add_argument("--lsd-w", type=float, default=0.0,
+                    help="weight of the gate-matched LSD surrogate "
+                         "(eval/metrics.lsd at 2048/512) — targets the "
+                         "mean-LSD quality bar directly")
     a = ap.parse_args()
     if a.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -701,22 +751,22 @@ if __name__ == "__main__":
                                       a.length, a.lr, a.seed, a.scan,
                                       a.ae_frac, a.encoder_dim, a.hop,
                                       a.codebook_dim, a.decoder_dim,
-                                      stft_w=a.stft_w)
+                                      stft_w=a.stft_w, lsd_w=a.lsd_w)
         else:
             shipped = guarded_finetune(a.model_type, a.steps, a.batch,
                                        a.length, a.lr, a.seed, a.scan,
-                                       stft_w=a.stft_w)
+                                       stft_w=a.stft_w, lsd_w=a.lsd_w)
         sys.exit(0 if shipped else 3)
     if a.finetune:
         model, params = finetune(model_type=a.model_type, steps=a.steps,
                                  batch=a.batch, length=a.length, lr=a.lr,
                                  seed=a.seed, scan_size=a.scan,
-                                 stft_w=a.stft_w)
+                                 stft_w=a.stft_w, lsd_w=a.lsd_w)
     else:
         model, params = train(steps=a.steps, batch=a.batch, length=a.length,
                               lr=a.lr, seed=a.seed, scan_size=a.scan,
                               ae_frac=a.ae_frac, model_type=a.model_type,
-                              stft_w=a.stft_w)
+                              stft_w=a.stft_w, lsd_w=a.lsd_w)
     from ..flashsr.distill import synth_pair_batch
     sr = model.cfg.sample_rate
     _, hr = synth_pair_batch(jax.random.PRNGKey(99), 4, sr, sr=sr)

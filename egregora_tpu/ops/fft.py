@@ -33,22 +33,47 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.lru_cache(maxsize=16)
-def _dft_mats(n: int) -> Tuple[np.ndarray, np.ndarray]:
-    """DFT matrix of size n as (cos, -sin) float32 pair: X = x @ (C + jS)."""
-    k = np.arange(n)
-    ang = -2.0 * np.pi * np.outer(k, k) / n
-    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+def _dft_mats(n: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """DFT matrix of size n as (cos, sin) float32 pair: X = x @ (C + jS).
+
+    Built IN-GRAPH from int32 iota (exact modular phase, then one cos /
+    sin over [n, n]) instead of a baked numpy literal: a fullchain
+    program over a 120 s signal embeds >170 MB of these matrices, which
+    the relay's /remote_compile endpoint rejects with HTTP 413
+    (VERDICT r3 #9).  On the wire this is now a ~10-op recipe; XLA
+    either constant-folds it at compile time or computes it once per
+    call (~µs on the VPU) — both are free next to the matmuls it feeds.
+    ``k*k`` needs n <= 46341 to stay in int32 (callers are capped at
+    max_factor = 4096).
+    """
+    k = jax.lax.iota(jnp.int32, n)
+    prod = (k[:, None] * k[None, :]) % n          # exact phase index
+    ang = prod.astype(jnp.float32) * jnp.float32(-2.0 * np.pi / n)
+    return jnp.cos(ang), jnp.sin(ang)
 
 
-@functools.lru_cache(maxsize=16)
-def _twiddles(n1: int, n2: int) -> Tuple[np.ndarray, np.ndarray]:
-    """W_N^{k1*n2} twiddle factors ``[n1, n2]`` as (cos, sin)."""
+def _twiddles(n1: int, n2: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """W_N^{k1*n2} twiddle factors ``[n1, n2]`` as (cos, sin), traced.
+
+    ``k1*nn2 < n1*n2`` so no modular reduction is needed; exact in f32
+    up to 2^24 (n1, n2 <= 4096 by construction).  See ``_dft_mats`` for
+    why this is built in-graph.
+    """
     n = n1 * n2
-    k1 = np.arange(n1)[:, None]
-    nn2 = np.arange(n2)[None, :]
-    ang = -2.0 * np.pi * (k1 * nn2) / n
-    return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+    k1 = jax.lax.iota(jnp.int32, n1)[:, None]
+    nn2 = jax.lax.iota(jnp.int32, n2)[None, :]
+    ang = (k1 * nn2).astype(jnp.float32) * jnp.float32(-2.0 * np.pi / n)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _twiddles_t(n1: int, n2: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``_twiddles`` built directly in ``[n2, n1]`` orientation (no
+    traced transpose — a >16 MB transpose is a slow constant-fold)."""
+    n = n1 * n2
+    nn2 = jax.lax.iota(jnp.int32, n2)[:, None]
+    k1 = jax.lax.iota(jnp.int32, n1)[None, :]
+    ang = (nn2 * k1).astype(jnp.float32) * jnp.float32(-2.0 * np.pi / n)
+    return jnp.cos(ang), jnp.sin(ang)
 
 
 def _split_factor(n: int) -> Tuple[int, int]:
@@ -174,7 +199,23 @@ def _contract_m2(xr, xi, cm, sm):
     return yr, yi
 
 
-def rfft_permuted(x: jnp.ndarray, factors: Tuple[int, int] | None = None
+def permuted_fft_bases(n: int, factors: Tuple[int, int] | None = None) -> dict:
+    """All six basis arrays for an ``(rfft_permuted, irfft_permuted)``
+    pair, built once.  Pass the result as ``bases=`` when the transform
+    sits inside a ``lax`` loop body: closure capture turns them into
+    loop invariants, so the iota+cos construction runs once per program
+    instead of once per iteration."""
+    n1, n2 = factors or balanced_factors(n) or _split_factor(n)
+    c1, s1 = _dft_mats(n1)
+    c2, s2 = _dft_mats(n2)
+    twr, twi = _twiddles(n1, n2)
+    twr_t, twi_t = _twiddles_t(n1, n2)
+    return {"factors": (n1, n2), "c1": c1, "s1": s1, "c2": c2, "s2": s2,
+            "twr": twr, "twi": twi, "twr_t": twr_t, "twi_t": twi_t}
+
+
+def rfft_permuted(x: jnp.ndarray, factors: Tuple[int, int] | None = None,
+                  bases: dict | None = None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[int, int]]:
     """Real-input FFT returning the spectrum in a PERMUTED block layout.
 
@@ -192,11 +233,13 @@ def rfft_permuted(x: jnp.ndarray, factors: Tuple[int, int] | None = None
     Use ONLY with ``irfft_permuted``.
     """
     n = x.shape[-1]
-    n1, n2 = factors or balanced_factors(n) or _split_factor(n)
+    if bases is None:
+        bases = permuted_fft_bases(n, factors)
+    n1, n2 = bases["factors"]
     assert n1 * n2 == n, (n1, n2, n)
     lead = x.shape[:-1]
     xv = x.reshape(lead + (n1, n2))
-    c1, s1 = (jnp.asarray(m) for m in _dft_mats(n1))
+    c1, s1 = bases["c1"], bases["s1"]
     # contract over n1 (axis -2); real input -> 2 matmuls
     def dg(a, b):
         return jax.lax.dot_general(
@@ -204,30 +247,29 @@ def rfft_permuted(x: jnp.ndarray, factors: Tuple[int, int] | None = None
             precision=None)
     cr = dg(xv, c1)          # [..., n2, k1]
     ci = dg(xv, s1)
-    twr, twi = _twiddles(n1, n2)
-    # twiddle table is [k1, n2]; our layout is [..., n2, k1] -> transpose
-    # the CONSTANT table (free) instead of the data
-    twr = jnp.asarray(twr.T)
-    twi = jnp.asarray(twi.T)
-    cr, ci = _cmul(cr, ci, twr, twi)
+    # twiddle table is [k1, n2]; our layout is [..., n2, k1] -> use the
+    # table built directly in [n2, k1] orientation
+    cr, ci = _cmul(cr, ci, bases["twr_t"], bases["twi_t"])
     # contract over n2 (now axis -2): output [..., k1, k2]
-    c2, s2 = (jnp.asarray(m) for m in _dft_mats(n2))
-    yr, yi = _contract_m2(cr, ci, c2, s2)
+    yr, yi = _contract_m2(cr, ci, bases["c2"], bases["s2"])
     return yr, yi, (n1, n2)
 
 
 def irfft_permuted(yr: jnp.ndarray, yi: jnp.ndarray, n: int,
-                   factors: Tuple[int, int] | None = None) -> jnp.ndarray:
+                   factors: Tuple[int, int] | None = None,
+                   bases: dict | None = None) -> jnp.ndarray:
     """Inverse of ``rfft_permuted`` -> real ``[..., n]``.
 
     Conjugate transforms applied in reverse order, real part only on
     the final stage; same zero-shuffle property.  ``factors`` must
     match the forward call's.
     """
-    n1, n2 = factors or balanced_factors(n) or _split_factor(n)
+    if bases is None:
+        bases = permuted_fft_bases(n, factors)
+    n1, n2 = bases["factors"]
     assert n1 * n2 == n, (n1, n2, n)
     lead = yr.shape[:-2]
-    c2, s2 = (jnp.asarray(m) for m in _dft_mats(n2))
+    c2, s2 = bases["c2"], bases["s2"]
     # inverse over k2 (axis -2 is k1; k2 is last) — contract last axis:
     def dg_last(a, b):
         return jax.lax.dot_general(
@@ -236,9 +278,8 @@ def irfft_permuted(yr: jnp.ndarray, yi: jnp.ndarray, n: int,
     # conj DFT: C - jS  => (ar + j ai)(C - jS): re = ar C + ai S ...
     ar = dg_last(yr, c2) + dg_last(yi, s2)        # [..., k1, n2]
     ai = dg_last(yi, c2) - dg_last(yr, s2)
-    twr, twi = _twiddles(n1, n2)                  # [k1, n2]
-    ar, ai = _cmul(ar, ai, jnp.asarray(twr), jnp.asarray(-twi))
-    c1, s1 = (jnp.asarray(m) for m in _dft_mats(n1))
+    ar, ai = _cmul(ar, ai, bases["twr"], -bases["twi"])
+    c1, s1 = bases["c1"], bases["s1"]
     # inverse over k1 (axis -2), REAL part only: re = ar C + ai S
     def dg_m2(a, b):
         return jax.lax.dot_general(
@@ -268,10 +309,9 @@ def rfft_mm(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     zci = -jnp.take(zi, idx, axis=-1)
     er, ei = (zr + zcr) * 0.5, (zi + zci) * 0.5
     orr, ori = (zi - zci) * 0.5, -(zr - zcr) * 0.5           # -j/2 (Z - Zc)
-    k = np.arange(half)
-    ang = -2.0 * np.pi * k / n
-    wr, wi = jnp.asarray(np.cos(ang).astype(np.float32)), jnp.asarray(
-        np.sin(ang).astype(np.float32))
+    k = jax.lax.iota(jnp.float32, half)
+    ang = k * jnp.float32(-2.0 * np.pi / n)
+    wr, wi = jnp.cos(ang), jnp.sin(ang)
     tr, ti = _cmul(orr, ori, wr, wi)
     xr = er + tr                                             # k = 0..half-1
     xi = ei + ti
@@ -299,10 +339,10 @@ def irfft_mm(xr: jnp.ndarray, xi: jnp.ndarray, n: int) -> jnp.ndarray:
     ei = 0.5 * (xi_h - xi_m)
     dr = 0.5 * (xr_h - xr_m)
     di = 0.5 * (xi_h + xi_m)
-    k = np.arange(half)
-    ang = 2.0 * np.pi * k / n          # conj(W^k) = e^{+j 2 pi k / n}
-    wr = jnp.asarray(np.cos(ang).astype(np.float32))
-    wi = jnp.asarray(np.sin(ang).astype(np.float32))
+    k = jax.lax.iota(jnp.float32, half)
+    ang = k * jnp.float32(2.0 * np.pi / n)  # conj(W^k) = e^{+j 2 pi k / n}
+    wr = jnp.cos(ang)
+    wi = jnp.sin(ang)
     orr, ori = _cmul(dr, di, wr, wi)
     # Z = E + j O ; z = IFFT_half(Z) ; x[2m] = Re z, x[2m+1] = Im z
     zr = er - ori

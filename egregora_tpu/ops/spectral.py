@@ -48,7 +48,8 @@ import math
 import jax
 import jax.numpy as jnp
 
-from .fft import alias_factors, balanced_factors, irfft_permuted, rfft_permuted
+from .fft import (alias_factors, balanced_factors, irfft_permuted,
+                  permuted_fft_bases, rfft_permuted)
 from .resample import resample_poly
 
 
@@ -148,12 +149,17 @@ def ist_upscale(x_cs: jnp.ndarray, factor: int, max_iterations: int,
     if use_matmul_fft:
         # permuted-spectrum MXU transform: magnitude gating is
         # permutation-invariant, so bin order never needs fixing up
-        # (see ops/fft.rfft_permuted)
+        # (see ops/fft.rfft_permuted).  Bases are built OUTSIDE the
+        # loop body: the traced iota+cos construction (ops/fft) must be
+        # a loop invariant, not a per-iteration recompute.
+        bases = permuted_fft_bases(n_fft)
+
         def body(_, x):
             z = clamp_observed(x)
-            re, im, _ = rfft_permuted(z)
+            re, im, _ = rfft_permuted(z, bases=bases)
             re, im = gate(re, im)
-            return irfft_permuted(re, im, n_fft).astype(jnp.float32)
+            return irfft_permuted(re, im, n_fft,
+                                  bases=bases).astype(jnp.float32)
     else:
         def body(_, x):
             z = clamp_observed(x)

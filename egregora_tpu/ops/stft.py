@@ -111,23 +111,36 @@ def istft(spec: jnp.ndarray, n_fft: int, hop: int, length: int, *,
     return jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, length - total)])
 
 
-@functools.lru_cache(maxsize=8)
-def _synthesis_idft_basis(n_fft: int, window: str) -> Tuple[np.ndarray, np.ndarray]:
+def _dft_phase(rows: int, cols: int, modulus: int) -> jnp.ndarray:
+    """``(iota_rows ⊗ iota_cols) mod modulus`` as f32 — the exact phase
+    index grid every DFT basis here is built from.  Constructed IN-GRAPH
+    (int32 iota) so basis matrices ride the relay as a tiny recipe, not
+    a multi-MB literal (the 120 s fullchain program embedded >170 MB of
+    such constants and the relay compile endpoint rejected it with
+    HTTP 413 — VERDICT r3 #9)."""
+    r = jax.lax.iota(jnp.int32, rows)[:, None]
+    c = jax.lax.iota(jnp.int32, cols)[None, :]
+    return ((r * c) % modulus).astype(jnp.float32)
+
+
+def _synthesis_idft_basis(n_fft: int, window: str
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """``(cos_basis, sin_basis)`` each ``[n_fft//2+1, n_fft]`` such that
     ``re @ cb + im @ sb == irfft(re + i*im) * window`` — the windowed
     inverse real DFT as one dense matmul (MXU) instead of a native TPU
-    FFT (scalar-slow; see ops/fft.py notes)."""
-    w = hann_periodic(n_fft) if window == "hann_periodic" else hann_symmetric(n_fft)
+    FFT (scalar-slow; see ops/fft.py notes).  Built in-graph; only the
+    window and bin-weight column (a few KB) ship as literals."""
+    w = jnp.asarray(hann_periodic(n_fft) if window == "hann_periodic"
+                    else hann_symmetric(n_fft))
     nbins = n_fft // 2 + 1
-    k = np.arange(nbins)[:, None]
-    n = np.arange(n_fft)[None, :]
-    ang = 2.0 * np.pi * k * n / n_fft
-    ck = np.full((nbins, 1), 2.0 / n_fft)
+    ang = _dft_phase(nbins, n_fft, n_fft) * jnp.float32(2.0 * np.pi / n_fft)
+    ck = np.full((nbins, 1), 2.0 / n_fft, np.float32)
     ck[0, 0] = 1.0 / n_fft
     if n_fft % 2 == 0:
         ck[-1, 0] = 1.0 / n_fft
-    cb = (np.cos(ang) * ck * w[None, :]).astype(np.float32)
-    sb = (-np.sin(ang) * ck * w[None, :]).astype(np.float32)
+    ck = jnp.asarray(ck)
+    cb = jnp.cos(ang) * ck * w[None, :]
+    sb = -jnp.sin(ang) * ck * w[None, :]
     return cb, sb
 
 
@@ -176,26 +189,18 @@ def istft_dense(re: jnp.ndarray, im: jnp.ndarray, n_fft: int, hop: int, *,
     return y / jnp.where(wsum >= floor, wsum, 1.0)
 
 
-@functools.lru_cache(maxsize=8)
-def _windowed_dft_kernel(n_fft: int, window: str) -> np.ndarray:
-    """``[2*(n_fft//2+1), 1, n_fft]`` conv kernel: windowed DFT basis
-    (cos rows then -sin rows) so a strided conv IS the STFT."""
-    w = hann_periodic(n_fft) if window == "hann_periodic" else hann_symmetric(n_fft)
-    k = np.arange(n_fft // 2 + 1)[:, None]
-    n = np.arange(n_fft)[None, :]
-    ang = -2.0 * np.pi * k * n / n_fft
-    basis = np.concatenate([np.cos(ang), np.sin(ang)], axis=0) * w[None, :]
-    return basis.astype(np.float32)[:, None, :]
-
-
-@functools.lru_cache(maxsize=8)
-def _windowed_dft_basis_t(n_fft: int, window: str) -> np.ndarray:
-    """``[n_fft, 2*(n_fft//2+1)]`` — the stft_conv basis already in
-    matmul orientation.  Transposing here (host numpy, cached) instead
-    of inside the traced einsum keeps the >16 MB constant out of XLA's
-    constant folder: the dryrun logged >1 s folding a ``f32[2048,2050]``
-    transpose per program (VERDICT r3 weak #8)."""
-    return np.ascontiguousarray(_windowed_dft_kernel(n_fft, window)[:, 0, :].T)
+def _windowed_dft_basis_t(n_fft: int, window: str) -> jnp.ndarray:
+    """``[n_fft, 2*(n_fft//2+1)]`` — the stft_conv basis in matmul
+    orientation, built in-graph DIRECTLY transposed (no traced transpose
+    of a >16 MB constant — the dryrun logged >1 s folding a
+    ``f32[2048,2050]`` transpose per program, VERDICT r3 weak #8; and no
+    multi-MB literal on the relay wire, VERDICT r3 #9)."""
+    w = jnp.asarray(hann_periodic(n_fft) if window == "hann_periodic"
+                    else hann_symmetric(n_fft))
+    nbins = n_fft // 2 + 1
+    ang = _dft_phase(n_fft, nbins, n_fft) * jnp.float32(-2.0 * np.pi / n_fft)
+    wc = w[:, None]
+    return jnp.concatenate([jnp.cos(ang) * wc, jnp.sin(ang) * wc], axis=1)
 
 
 def frame_strided(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
