@@ -255,7 +255,11 @@ def bench_rnnoise(jnp, secs: int = 60) -> None:
     x = jnp.asarray((rng.standard_normal((ch, (t // FRAME) * FRAME)) * 0.1)
                     .astype(np.float32))
 
-    run = jax.jit(lambda p, x: denoise(p, x)[0])
+    # throughput mode: the frame recurrence runs as 16 parallel segment
+    # scans with a 1 s warm-up halo (segment 0 exact; boundary diff SNR
+    # ~55-60 dB, tests/test_rnnoise_restructure.py) — the sequential GRU
+    # latency was the dominant stage of the whole fullchain
+    run = jax.jit(lambda p, x: denoise(p, x, segments=16)[0])
     _sync(run(params, x))                   # compile
     best = 0.0
     best_dt = float("inf")
@@ -332,7 +336,11 @@ def bench_fullchain(pipe, jnp, secs: int = 120) -> None:
     def chain(params, x):
         x48 = resample(x, in_sr, 48000)
         pad = (-x48.shape[1]) % FRAME
-        wet, vads = denoise(rn_params, jnp.pad(x48, ((0, 0), (0, pad))))
+        # segmented frame recurrence (throughput mode): RNNoise's
+        # sequential GRU latency was 53 ms of this chain's 119 ms
+        # device time at 30 s (PARITY.md stage table)
+        wet, vads = denoise(rn_params, jnp.pad(x48, ((0, 0), (0, pad))),
+                            segments=16)
         wet = wet[:, : x48.shape[1]]
         den = adaptive_mix(x48[0], wet[0], vads[0], strength=0.8,
                            mix_curve="equal_power",

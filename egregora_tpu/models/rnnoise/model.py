@@ -293,8 +293,63 @@ def _log_band_follow(bande: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(ly)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def denoise_channel_full(params: Dict, x: jnp.ndarray):
+def _segment_scan(step, carry0, xs, silence, segments: int, warmup: int):
+    """Run ``lax.scan(step, carry0, (*xs, silence))`` as ``segments``
+    batched scans with a ``warmup``-frame halo — RNNoise's frame
+    recurrence is the fullchain's dominant stage (53 ms of a 30 s
+    program's 119 ms device time) purely from sequential-step LATENCY:
+    ~3000 tiny GRU steps.  Splitting the frame axis into segments runs
+    them as ONE vmapped scan of ~F/segments steps.
+
+    Semantics: the halo frames prepended to each segment are the REAL
+    preceding frames, so each segment's carry warms up from the global
+    init over ``warmup`` frames (~1 s at 10 ms/frame) before its outputs
+    are kept; RNNoise's recurrences (8-frame cepstral history, leaky
+    GRUs, 0.6^k gain floor) forget far faster.  Segment 0 is EXACT: its
+    halo is synthetic silence frames, and every carried state is frozen
+    on silence (denoise.c semantics), so carry0 passes through
+    untouched.  Tail padding frames are silence too; their outputs are
+    dropped.
+
+    ``xs``: tuple of [F, ...] per-frame inputs (zeros are neutral under
+    a True silence flag); ``silence``: [F] bool.  Returns stacked
+    outputs [F, ...].
+    """
+    f = silence.shape[0]
+    if segments <= 1 or f < 2 * segments:
+        _, ys = jax.lax.scan(step, carry0, (*xs, silence))
+        return ys
+
+    from ...ops.stft import frame_strided
+    seg_len = -(-f // segments)
+    pad_tail = segments * seg_len - f
+
+    def window(a, fill):
+        # [F, ...] -> [segments, warmup + seg_len, ...] halo windows via
+        # pure strided slices (frame_strided frames the LAST axis, so
+        # move the frame axis there and back)
+        pads = [(warmup, pad_tail)] + [(0, 0)] * (a.ndim - 1)
+        ap = jnp.pad(a, pads, constant_values=fill)
+        am = jnp.moveaxis(ap, 0, -1)
+        fr = frame_strided(am, warmup + seg_len, seg_len)[..., :segments, :]
+        return jnp.moveaxis(fr, (-2, -1), (0, 1))
+
+    xs_w = tuple(window(a, 0) for a in xs)
+    sil_w = window(silence, True)
+
+    def seg(seg_xs):
+        _, ys = jax.lax.scan(step, carry0, seg_xs)
+        return ys
+
+    ys = jax.vmap(seg)((*xs_w, sil_w))
+    return jax.tree_util.tree_map(
+        lambda y: y[:, warmup:].reshape((segments * seg_len,) + y.shape[2:])[:f],
+        ys)
+
+
+@functools.partial(jax.jit, static_argnames=("segments", "warmup"))
+def denoise_channel_full(params: Dict, x: jnp.ndarray,
+                         segments: int = 1, warmup: int = 100):
     """Full per-frame pipeline: ``x [T]`` -> (denoised [T], vad [F],
     rnn band gains [F, 22], analysis band energies [F, 22]).  The gains
     and energies feed the oracle-gain distillation loss (the xiph
@@ -357,9 +412,9 @@ def denoise_channel_full(params: Dict, x: jnp.ndarray):
         return ((sel(period, prev_period), sel(pgain, prev_gain)),
                 (period, pgain))
 
-    _, (periods, pgains) = jax.lax.scan(
+    periods, pgains = _segment_scan(
         pstep, (jnp.float32(300.0), jnp.float32(0.0)),
-        (cand_all, gc_all, g0_all, silence_all))
+        (cand_all, gc_all, g0_all), silence_all, segments, warmup)
 
     # ---- pitch spectra (batched): slice each frame's period-delayed
     # window (vmapped dynamic_slice over the rolling buffers), then ONE
@@ -429,8 +484,9 @@ def denoise_channel_full(params: Dict, x: jnp.ndarray):
         jnp.zeros(cfg.vad_gru), jnp.zeros(cfg.noise_gru),
         jnp.zeros(cfg.denoise_gru), jnp.zeros(NB_BANDS),
     )
-    _, (vads, gains, gains_s_all) = jax.lax.scan(
-        step, carry0, (bfcc_all, pitch_cep_all, periods, silence_all))
+    vads, gains, gains_s_all = _segment_scan(
+        step, carry0, (bfcc_all, pitch_cep_all, periods), silence_all,
+        segments, warmup)
 
     # ---- pitch comb filter + band gains (denoise.c pitch_filter),
     # batched over all frames: pure elementwise/[F,481]x[481,22] matmul
@@ -460,21 +516,27 @@ def denoise_channel_full(params: Dict, x: jnp.ndarray):
     return outs.reshape(-1)[: x.shape[0]] / PCM_SCALE, vads, gains, ex_all
 
 
-@functools.partial(jax.jit, static_argnames=())
-def denoise_channel(params: Dict, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+@functools.partial(jax.jit, static_argnames=("segments",))
+def denoise_channel(params: Dict, x: jnp.ndarray, segments: int = 1
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Denoise a mono 48 kHz float(±1) signal.
 
     ``x [T]`` (T padded to a FRAME multiple by the caller) ->
     ``(denoised [T], vad_probs [T // FRAME])`` — the contract of
     pyrnnoise's ``denoise_chunk`` (reference :144-169).
+
+    ``segments > 1`` opts into the segmented frame recurrence
+    (``_segment_scan``): ~segments× fewer sequential GRU steps for a
+    ~1 s state warm-up approximation at each internal segment boundary.
     """
-    out, vads, _, _ = denoise_channel_full(params, x)
+    out, vads, _, _ = denoise_channel_full(params, x, segments=segments)
     return out, vads
 
 
-def denoise(params: Dict, x_cn: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def denoise(params: Dict, x_cn: jnp.ndarray, segments: int = 1
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Multi-channel denoise: ``[C, T] -> ([C, T], [C, frames])``."""
-    return jax.vmap(lambda ch: denoise_channel(params, ch))(x_cn)
+    return jax.vmap(lambda ch: denoise_channel(params, ch, segments))(x_cn)
 
 
 def band_energies(x: jnp.ndarray) -> jnp.ndarray:

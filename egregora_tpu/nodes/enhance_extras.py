@@ -109,7 +109,14 @@ class Egregora_RNNoise_Denoise:
         t = x48.shape[1]
         pad = (-t) % FRAME
         xp = jnp.pad(x48, ((0, 0), (0, pad)))
-        wet, vads = denoise(self._params(), xp)
+        # EGREGORA_RNNOISE_SEGMENTS=N opts the node into the segmented
+        # frame recurrence (throughput mode, ~N× fewer sequential GRU
+        # steps; ~1 s state warm-up at internal boundaries — see
+        # models/rnnoise/model._segment_scan).  Default stays the exact
+        # sequential scan, matching the C library stream semantics.
+        import os
+        segs = max(1, int(os.environ.get("EGREGORA_RNNOISE_SEGMENTS", "1")))
+        wet, vads = denoise(self._params(), xp, segments=segs)
         wet = wet[:, :t]
 
         # frame_ms sets the VAD DECISION granularity: the engine's frame

@@ -144,3 +144,33 @@ def test_restructured_engine_matches_monolithic(seed, scale):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
                                atol=2e-5)
+
+
+def test_segmented_scan_matches_sequential():
+    """Throughput mode (segments>1, models/rnnoise/model._segment_scan):
+    segment 0 must be EXACT (silence halo holds carry0 through the
+    warm-up), and every later segment must converge to the sequential
+    result within its 1 s warm-up (diff SNR >= 40 dB — far below any
+    audible or gate-relevant level)."""
+    rng = np.random.default_rng(7)
+    secs = 5
+    t = np.arange(M.SR * secs) / M.SR
+    speech = 0.3 * np.sin(2 * np.pi * 220 * t) * (np.sin(2 * np.pi * 3 * t) > 0)
+    x = (speech + 0.05 * rng.standard_normal(M.SR * secs)).astype(np.float32)
+    x = x[: (len(x) // M.FRAME) * M.FRAME]
+    params = M.init_params(seed=2)
+    y1, v1, g1, _ = M.denoise_channel_full(params, jnp.asarray(x))
+    y4, v4, g4, _ = M.denoise_channel_full(params, jnp.asarray(x), segments=4)
+    y1, y4 = np.asarray(y1), np.asarray(y4)
+    f = np.asarray(v1).shape[0]
+    seg_len = -(-f // 4)
+    # segment 0 bit-identical (its halo is pure silence frames)
+    n0 = seg_len * M.FRAME
+    np.testing.assert_allclose(y4[:n0], y1[:n0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v4)[:seg_len],
+                               np.asarray(v1)[:seg_len], atol=1e-6)
+    # later segments: warm-up approximation stays inaudibly small
+    err = np.mean(np.square(y4[n0:] - y1[n0:]))
+    sig = np.mean(np.square(y1[n0:])) + 1e-20
+    assert 10 * np.log10(sig / (err + 1e-20)) >= 40.0
+    assert np.max(np.abs(np.asarray(v4) - np.asarray(v1))) < 0.05
