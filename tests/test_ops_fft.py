@@ -76,3 +76,23 @@ def test_ist_fold_domain_matches_native_mixed_radix(rng):
     a = np.asarray(ist_upscale(jnp.asarray(x), f, 12, 0.3, use_matmul_fft=False))
     b = np.asarray(ist_upscale(jnp.asarray(x), f, 12, 0.3, use_matmul_fft=True))
     np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_permuted_bases_plumbing():
+    """Explicit bases= (the loop-hoisting path in ops/spectral) must
+    reproduce the default construction bit-for-bit."""
+    import numpy as np
+    from egregora_tpu.ops.fft import (irfft_permuted, permuted_fft_bases,
+                                      rfft_permuted)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 1536)).astype(np.float32))
+    bases = permuted_fft_bases(1536)
+    r0, i0, f0 = rfft_permuted(x)
+    r1, i1, f1 = rfft_permuted(x, bases=bases)
+    assert f0 == f1 == tuple(bases["factors"])
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    y0 = irfft_permuted(r0, i0, 1536)
+    y1 = irfft_permuted(r1, i1, 1536, bases=bases)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(x), atol=2e-4)
