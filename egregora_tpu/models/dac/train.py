@@ -219,23 +219,28 @@ def make_ema_scan_step(model: DACModel, tx: optax.GradientTransformation,
 
     cfg = model.cfg
 
-    def one(carry, k):
-        params, opt_state, ema = carry
-        kd, kr = jax.random.split(k)
-        _, hr = synth_pair_batch(kd, batch, length, sr=sr)
-        (lv, (codes, r_stack)), grads = jax.value_and_grad(
-            functools.partial(loss, model), has_aux=True)(params, hr)
-        if rvq_only:
-            grads = {k2: (v if k2 == "rvq" else
-                          jax.tree_util.tree_map(jnp.zeros_like, v))
-                     for k2, v in grads.items()}
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        params, ema = ema_codebook_update(cfg, params, ema, codes, r_stack, kr)
-        return (params, opt_state, ema), lv
-
     @jax.jit
-    def steps(params, opt_state, ema, key):
+    def steps(params, opt_state, ema, key, stft_w):
+        # stft_w is TRACED: per-dispatch loss-weight schedules (the
+        # end-phase LSD-polish ramp) reuse one compiled program — a
+        # second remote compile through the relay costs 10-20 min
+        def one(carry, k):
+            params, opt_state, ema = carry
+            kd, kr = jax.random.split(k)
+            _, hr = synth_pair_batch(kd, batch, length, sr=sr)
+            (lv, (codes, r_stack)), grads = jax.value_and_grad(
+                lambda p: loss(model, p, hr, stft_w=stft_w),
+                has_aux=True)(params)
+            if rvq_only:
+                grads = {k2: (v if k2 == "rvq" else
+                              jax.tree_util.tree_map(jnp.zeros_like, v))
+                         for k2, v in grads.items()}
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            params, ema = ema_codebook_update(cfg, params, ema, codes,
+                                              r_stack, kr)
+            return (params, opt_state, ema), lv
+
         keys = jax.random.split(key, scan_size)
         (params, opt_state, ema), losses = jax.lax.scan(
             one, (params, opt_state, ema), keys)
@@ -340,17 +345,18 @@ def make_scan_step(model: DACModel, tx: optax.GradientTransformation,
     stepping would spend more time on round trips than on training."""
     from ..flashsr.distill import synth_pair_batch
 
-    def one(carry, k):
-        params, opt_state = carry
-        _, hr = synth_pair_batch(k, batch, length, sr=sr)
-        lv, grads = jax.value_and_grad(
-            functools.partial(loss, model))(params, hr)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), lv
-
     @jax.jit
-    def steps(params, opt_state, key):
+    def steps(params, opt_state, key, stft_w):
+        # stft_w traced for the same one-compile reason as the EMA step
+        def one(carry, k):
+            params, opt_state = carry
+            _, hr = synth_pair_batch(k, batch, length, sr=sr)
+            lv, grads = jax.value_and_grad(
+                lambda p: loss(model, p, hr, stft_w=stft_w))(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), lv
+
         keys = jax.random.split(key, scan_size)
         (params, opt_state), losses = jax.lax.scan(one, (params, opt_state), keys)
         return params, opt_state, jnp.mean(losses)
@@ -358,14 +364,40 @@ def make_scan_step(model: DACModel, tx: optax.GradientTransformation,
     return steps
 
 
+def _stft_w_schedule(steps: int, stft_w: float, stft_w_end: float,
+                     ramp_frac: float = 0.2):
+    """Per-step STFT-loss weight: constant ``stft_w``, then a linear
+    ramp to ``stft_w_end`` over the final ``ramp_frac`` of the phase.
+
+    Motivation (round-4, 44 kHz): a stft-w 0.12 FINETUNE from the 0.08
+    retrain cut gate LSD 7.84 -> 7.69 for only -0.06 dB mean SNR — a
+    ~0.4:1 SNR-per-LSD trade, far better than the lsd-w surrogate's
+    measured ~2:1.  The ramp folds that polish into the tail of a
+    single run, where the cosine-decayed lr limits the SNR give-back."""
+    if not stft_w_end or stft_w_end == stft_w or steps <= 0:
+        return lambda i: stft_w
+    s0 = int(round(steps * (1.0 - ramp_frac)))
+    span = max(1, steps - s0)
+
+    def at(i: int) -> float:
+        if i <= s0:
+            return stft_w
+        return stft_w + (stft_w_end - stft_w) * min(1.0, (i - s0) / span)
+
+    return at
+
+
 def _run_phase(model, params, tag, loss, steps, batch, length, lr, key,
                scan_size, log_every, use_ema: bool = False, eval_fn=None,
-               ckpt_path=None, ckpt_every: int = 0, rvq_only: bool = False):
+               ckpt_path=None, ckpt_every: int = 0, rvq_only: bool = False,
+               stft_w: float = 0.25, stft_w_end: float = 0.0):
     """One optimization phase.  ``use_ema=True`` runs the EMA-codebook
-    step (``make_ema_scan_step``; ``loss`` ignored); ``eval_fn`` (from
+    step (``make_ema_scan_step``); ``eval_fn`` (from
     ``make_eval_snr``) logs held-out roundtrip SNR alongside the loss;
     ``ckpt_path``/``ckpt_every`` save the weights mid-run so long TPU
-    runs survive interruption and are diagnosable post-hoc."""
+    runs survive interruption and are diagnosable post-hoc.  ``loss``
+    must accept ``(model, params, wav, stft_w=...)``; the weight is fed
+    per dispatch from ``_stft_w_schedule`` as a traced scalar."""
     if steps <= 0:
         return params
 
@@ -384,14 +416,16 @@ def _run_phase(model, params, tag, loss, steps, batch, length, lr, key,
     else:
         step = make_scan_step(model, tx, batch, length, sr, sz, loss=loss)
         ema = None
+    w_at = _stft_w_schedule(steps, stft_w, stft_w_end)
     next_log = 0
     since_ckpt = 0
     for i in range(0, steps, sz):
         key, k = jax.random.split(key)
+        sw = jnp.float32(w_at(i))
         if use_ema:
-            params, opt_state, ema, lv = step(params, opt_state, ema, k)
+            params, opt_state, ema, lv = step(params, opt_state, ema, k, sw)
         else:
-            params, opt_state, lv = step(params, opt_state, k)
+            params, opt_state, lv = step(params, opt_state, k, sw)
         if log_every and i + sz > next_log:
             next_log += max(log_every, sz)
             extra = ""
@@ -412,7 +446,8 @@ def train(cfg: DACConfig = None, steps: int = 2000, batch: int = 8,
           length: int = 16384, lr: float = 3e-4, seed: int = 0,
           log_every: int = 100, scan_size: int = 1, ae_frac: float = 0.5,
           model_type: str = "44khz", eval_every: bool = True,
-          stft_w: float = 0.25, lsd_w: float = 0.0):
+          stft_w: float = 0.25, lsd_w: float = 0.0,
+          stft_w_end: float = 0.0):
     """Two-phase distillation: (A) plain autoencoder until the latent
     carries the signal, then data-dependent codebook init, then (B) VQ
     training with EMA codebook updates + continuous dead-code restarts.
@@ -439,30 +474,35 @@ def train(cfg: DACConfig = None, steps: int = 2000, batch: int = 8,
 
     proj_steps = max(scan_size, int(round(steps * 0.1)))
     key, ka, kc, kp, kb = jax.random.split(key, 5)
-    ae_l = functools.partial(ae_loss_fn, stft_w=stft_w, lsd_w=lsd_w)
-    ema_l = functools.partial(ema_loss_fn, stft_w=stft_w, lsd_w=lsd_w)
+    ae_l = functools.partial(ae_loss_fn, lsd_w=lsd_w)
+    ema_l = functools.partial(ema_loss_fn, lsd_w=lsd_w)
     params = _run_phase(model, params, "ae", ae_l, ae_steps, batch,
-                        length, lr, ka, scan_size, log_every, eval_fn=ev_ae)
+                        length, lr, ka, scan_size, log_every, eval_fn=ev_ae,
+                        stft_w=stft_w)
     _, warm = synth_pair_batch(kc, batch, length, sr=cfg.sample_rate)
     params = init_codebooks_from_data(model, params, warm, seed=seed)
     # projection warmup: rvq-only gradients until z_q tracks z — entering
     # the joint phase with random proj_in/proj_out fed the decoder
     # garbage-scaled z_q and exploded the loss to ~1e10 (run r3c)
-    params = _run_phase(model, params, "proj", proj_loss_fn, proj_steps,
+    params = _run_phase(model, params, "proj",
+                        lambda m, p, w, stft_w=None: proj_loss_fn(m, p, w),
+                        proj_steps,
                         batch, length, lr * 0.5, kp, scan_size, log_every,
                         use_ema=True, eval_fn=ev, rvq_only=True)
     params = _run_phase(model, params, "vq", ema_l,
                         steps - ae_steps - proj_steps, batch,
                         length, lr * 0.5, kb, scan_size, log_every,
                         use_ema=True, eval_fn=ev,
-                        ckpt_path=ckpt, ckpt_every=3000)
+                        ckpt_path=ckpt, ckpt_every=3000,
+                        stft_w=stft_w, stft_w_end=stft_w_end)
     return model, params
 
 
 def finetune(model_type: str = "44khz", steps: int = 6000, batch: int = 8,
              length: int = 16384, lr: float = 5e-5, seed: int = 10,
              scan_size: int = 1, log_every: int = 100,
-             stft_w: float = 0.25, lsd_w: float = 0.0):
+             stft_w: float = 0.25, lsd_w: float = 0.0,
+             stft_w_end: float = 0.0):
     """Continue the VQ phase from the shipped codec (the FlashSR
     ``--resume`` analog): geometry + params load from the npz, the EMA
     codebook state re-derives from the loaded codebooks
@@ -480,12 +520,12 @@ def finetune(model_type: str = "44khz", steps: int = 6000, batch: int = 8,
     ev = make_eval_snr(model, length=min(length, cfg.sample_rate))
     ckpt = PRETRAINED[model_type].with_suffix(".ckpt.npz")
     params = _run_phase(model, params, "ft",
-                        functools.partial(ema_loss_fn, stft_w=stft_w,
-                                          lsd_w=lsd_w),
+                        functools.partial(ema_loss_fn, lsd_w=lsd_w),
                         steps, batch, length, lr,
                         jax.random.PRNGKey(seed), scan_size, log_every,
                         use_ema=True, eval_fn=ev,
-                        ckpt_path=ckpt, ckpt_every=3000)
+                        ckpt_path=ckpt, ckpt_every=3000,
+                        stft_w=stft_w, stft_w_end=stft_w_end)
     return model, params
 
 
@@ -580,7 +620,8 @@ def _guarded_ship(model_type: str, before: dict, model: DACModel,
 
 def guarded_finetune(model_type: str, steps: int, batch: int, length: int,
                      lr: float, seed: int, scan_size: int,
-                     stft_w: float = 0.25, lsd_w: float = 0.0) -> bool:
+                     stft_w: float = 0.25, lsd_w: float = 0.0,
+                     stft_w_end: float = 0.0) -> bool:
     """Fine-tune the shipped codec and ship ONLY on gate improvement:
     the official four-draw gate (mean + worst-draw SNR) must not regress.
     A run that polishes the mean while sinking the worst draw — or the
@@ -595,7 +636,8 @@ def guarded_finetune(model_type: str, steps: int, batch: int, length: int,
     print(f"[dac-guarded:{model_type}] BEFORE gate: {before}", flush=True)
     model, params = finetune(model_type=model_type, steps=steps, batch=batch,
                              length=length, lr=lr, seed=seed,
-                             scan_size=scan_size, stft_w=stft_w, lsd_w=lsd_w)
+                             scan_size=scan_size, stft_w=stft_w, lsd_w=lsd_w,
+                             stft_w_end=stft_w_end)
     return _guarded_ship(model_type, before, model, params)
 
 
@@ -603,7 +645,8 @@ def guarded_retrain(model_type: str, steps: int, batch: int, length: int,
                     lr: float, seed: int, scan_size: int, ae_frac: float,
                     encoder_dim: int = 0, hop: int = 0,
                     codebook_dim: int = 0, decoder_dim: int = 0,
-                    stft_w: float = 0.25, lsd_w: float = 0.0) -> bool:
+                    stft_w: float = 0.25, lsd_w: float = 0.0,
+                    stft_w_end: float = 0.0) -> bool:
     """Full from-scratch retrain at an (optionally) widened geometry,
     shipped only on four-draw gate improvement over the current npz.
 
@@ -636,7 +679,8 @@ def guarded_retrain(model_type: str, steps: int, batch: int, length: int,
     model, params = train(cfg=cfg, steps=steps, batch=batch, length=length,
                           lr=lr, seed=seed, scan_size=scan_size,
                           ae_frac=ae_frac, model_type=model_type,
-                          stft_w=stft_w, lsd_w=lsd_w)
+                          stft_w=stft_w, lsd_w=lsd_w,
+                          stft_w_end=stft_w_end)
     if before is None:
         save_pretrained(params, PRETRAINED[model_type], cfg=model.cfg)
         print(f"[dac-guarded:{model_type}] SHIPPED (no incumbent)", flush=True)
@@ -740,6 +784,11 @@ if __name__ == "__main__":
                     help="weight of the gate-matched LSD surrogate "
                          "(eval/metrics.lsd at 2048/512) — targets the "
                          "mean-LSD quality bar directly")
+    ap.add_argument("--stft-w-end", type=float, default=0.0,
+                    help="ramp the STFT weight linearly to this value over "
+                         "the final 20%% of the (VQ/finetune) phase — the "
+                         "end-phase LSD polish (44 kHz evidence: stft-w "
+                         "0.12 finetune cut LSD 0.16 for -0.06 dB SNR)")
     a = ap.parse_args()
     if a.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -751,22 +800,26 @@ if __name__ == "__main__":
                                       a.length, a.lr, a.seed, a.scan,
                                       a.ae_frac, a.encoder_dim, a.hop,
                                       a.codebook_dim, a.decoder_dim,
-                                      stft_w=a.stft_w, lsd_w=a.lsd_w)
+                                      stft_w=a.stft_w, lsd_w=a.lsd_w,
+                                      stft_w_end=a.stft_w_end)
         else:
             shipped = guarded_finetune(a.model_type, a.steps, a.batch,
                                        a.length, a.lr, a.seed, a.scan,
-                                       stft_w=a.stft_w, lsd_w=a.lsd_w)
+                                       stft_w=a.stft_w, lsd_w=a.lsd_w,
+                                       stft_w_end=a.stft_w_end)
         sys.exit(0 if shipped else 3)
     if a.finetune:
         model, params = finetune(model_type=a.model_type, steps=a.steps,
                                  batch=a.batch, length=a.length, lr=a.lr,
                                  seed=a.seed, scan_size=a.scan,
-                                 stft_w=a.stft_w, lsd_w=a.lsd_w)
+                                 stft_w=a.stft_w, lsd_w=a.lsd_w,
+                                 stft_w_end=a.stft_w_end)
     else:
         model, params = train(steps=a.steps, batch=a.batch, length=a.length,
                               lr=a.lr, seed=a.seed, scan_size=a.scan,
                               ae_frac=a.ae_frac, model_type=a.model_type,
-                              stft_w=a.stft_w, lsd_w=a.lsd_w)
+                              stft_w=a.stft_w, lsd_w=a.lsd_w,
+                              stft_w_end=a.stft_w_end)
     from ..flashsr.distill import synth_pair_batch
     sr = model.cfg.sample_rate
     _, hr = synth_pair_batch(jax.random.PRNGKey(99), 4, sr, sr=sr)
