@@ -1,0 +1,159 @@
+"""Standalone LDM-UNet ablation lab: where do the 137 ms / 29% MFU go?
+
+The fused-pipeline ablation (tools/profile_fused_ablation.py +
+tools/ablation_flops.py) pinned the UNet as the biggest low-utilization
+stage of the full-config program.  This times the UNet ALONE at the
+real geometry ([8, 128, 64, 32] latent, the 120 s/B=8 bench shape) with
+single mechanisms ablated, so each compile is small and the relay
+queue stays usable while trainers run:
+
+  full        unmodified LDMUNet
+  no-attn     attention blocks return their input (bounds attn wall)
+  attn-1024   chunked attention block 256 -> 1024 (fewer serial steps)
+  no-resize   nearest-resize upsample -> reshape-broadcast
+  no-gn       GroupNorm -> identity (bounds normalization wall)
+
+Each variant re-inits its own params (fast_init_like over eval_shape —
+some ablations change the tree).  A null program calibrates the fixed
+relay dispatch overhead out of every line.
+
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/unet_lab.py
+"""
+import contextlib
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import flax.linen as nn
+
+from egregora_tpu.models.flashsr import ldm_unet
+from egregora_tpu.models.flashsr.ldm_unet import LDMUNet, LDMUNetConfig
+from egregora_tpu.utils.weights import fast_init_like
+
+B, F, M = 8, 128, 64
+ROUNDS = 5
+
+
+def _sync(a):
+    a.block_until_ready()
+    return float(np.asarray(a.reshape(-1)[:1])[0])
+
+
+def time_fn(fn, *args):
+    _sync(fn(*args))
+    best = float("inf")
+    for _ in range(ROUNDS):
+        t0 = time.time()
+        _sync(fn(*args))
+        best = min(best, time.time() - t0)
+    return best
+
+
+@contextlib.contextmanager
+def patched(**kw):
+    """Temporarily replace module-level names in ldm_unet (and the nn
+    alias it uses) for one variant's trace."""
+    saved = {}
+    for name, val in kw.items():
+        obj, attr = (nn, name[3:]) if name.startswith("nn_") else \
+            (ldm_unet, name)
+        saved[name] = getattr(obj, attr)
+        setattr(obj, attr, val)
+    try:
+        yield
+    finally:
+        for name, val in saved.items():
+            obj, attr = (nn, name[3:]) if name.startswith("nn_") else \
+                (ldm_unet, name)
+            setattr(obj, attr, val)
+
+
+class _IdGN(nn.Module):
+    """GroupNorm stand-in: same call surface, no normalization work."""
+    num_groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return x.astype(self.dtype)
+
+
+def _attn_identity(q, k, v, block=256):
+    return v
+
+
+def _attn_block(block):
+    from egregora_tpu.models.flashsr.vae import _chunked_attention
+
+    def f(q, k, v, _block=block):
+        return _chunked_attention(q, k, v, block=_block)
+
+    return f
+
+
+def _resize_broadcast(h, shape, method="nearest"):
+    b, f2, m2, c = shape
+    b0, f0, m0, c0 = h.shape
+    h = jnp.broadcast_to(h[:, :, None, :, None, :],
+                         (b0, f0, f2 // f0, m0, m2 // m0, c0))
+    return h.reshape(shape)
+
+
+def run_variant(name, patches, x, t):
+    model = LDMUNet(LDMUNetConfig())
+    with patched(**patches):
+        params = fast_init_like(
+            jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x, t)),
+            seed=0)
+        fn = jax.jit(lambda p, z, tt: model.apply(p, z, tt).sum())
+        dt = time_fn(fn, jax.device_put(params), x, t)
+    return dt
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, F, M, 32)).astype(np.float32))
+    t = jnp.ones((B,), jnp.float32)
+
+    null = jax.jit(lambda a: a.sum())
+    null_dt = time_fn(null, x)
+    print(f"null dispatch: {null_dt*1e3:7.1f} ms", flush=True)
+
+    class _Resize:
+        resize = staticmethod(_resize_broadcast)
+
+    variants = [
+        ("full", {}),
+        ("no-attn", {"_chunked_attention": _attn_identity}),
+        ("attn-1024", {"_chunked_attention": _attn_block(1024)}),
+        ("no-gn", {"nn_GroupNorm": _IdGN}),
+    ]
+    base = None
+    for name, patches in variants:
+        dt = run_variant(name, patches, x, t)
+        over = (dt - null_dt) * 1e3
+        line = f"{name:10s} {dt*1e3:7.1f} ms  over-null {over:7.1f} ms"
+        if base is None:
+            base = over
+        else:
+            line += f"  saves {base - over:6.1f} ms"
+        print(line, flush=True)
+
+    # resize ablation needs the image module patched inside ldm_unet
+    import types
+    fake_image = types.SimpleNamespace(resize=_resize_broadcast)
+    fake_jax = types.SimpleNamespace(**{**jax.__dict__, "image": fake_image})
+    dt = run_variant("no-resize", {"jax": fake_jax}, x, t)
+    over = (dt - null_dt) * 1e3
+    print(f"{'no-resize':10s} {dt*1e3:7.1f} ms  over-null {over:7.1f} ms"
+          f"  saves {base - over:6.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
