@@ -117,6 +117,22 @@ def test_guarded_finetune_ship_criterion():
     assert set(base) <= {"mean_snr", "worst_snr", "mean_lsd", "snrs"}
 
 
+def test_stft_w_end_ramp_schedule():
+    """_stft_w_schedule: constant until the final ramp_frac of the
+    phase, then linear to stft_w_end — the end-phase LSD polish that
+    replaced separate high-stft-w finetune runs (one compiled program,
+    traced weight)."""
+    from egregora_tpu.models.dac.train import _stft_w_schedule
+    at = _stft_w_schedule(1000, 0.08, 0.30)
+    assert at(0) == at(500) == at(800) == 0.08
+    assert abs(at(900) - 0.19) < 1e-9          # halfway up the ramp
+    assert abs(at(1000) - 0.30) < 1e-9
+    assert at(5000) == 0.30                    # clamped past the end
+    # disabled forms: end unset or equal to start
+    assert _stft_w_schedule(1000, 0.08, 0.0)(999) == 0.08
+    assert _stft_w_schedule(1000, 0.08, 0.08)(999) == 0.08
+
+
 def test_dac_codes_contract():
     """codes [C, n_q, T/hop] int; decode(z_q) reconstructs finite audio
     at the same length contract the nodes rely on."""
