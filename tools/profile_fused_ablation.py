@@ -59,12 +59,23 @@ def make_forward(pipe, skip):
             noise = jnp.broadcast_to(noise, z_lr.shape)
             z_in = jnp.concatenate([noise, z_lr], axis=-1)
             if "unet" in skip:
-                z_hr = z_in[..., : z_lr.shape[-1]] * 1.0
+                # take the z_lr HALF of z_in (the noise half would let
+                # XLA dead-code-eliminate the whole VAE encoder, folding
+                # its cost into the "unet" delta — round-4 bug)
+                z_hr = z_in[..., z_lr.shape[-1]:] * 1.0
             else:
                 t = jnp.ones((z_in.shape[0],), jnp.float32)
                 z_hr = modules.unet.apply(params["student_ldm"], z_in, t)
-            mel_hr = modules.vae.apply(params["vae"], z_hr,
-                                       method=MelVAE.decode)[..., 0]
+            if "dec" in skip:
+                # shape-faithful stand-in for decode: nearest 4x4
+                # upsample + channel mean (keeps z_hr alive, ~free)
+                b2, f2, m2, c2 = z_hr.shape
+                mel_hr = jnp.broadcast_to(
+                    z_hr.mean(-1)[:, :, None, :, None],
+                    (b2, f2, 4, m2, 4)).reshape(b2, 4 * f2, 4 * m2)
+            else:
+                mel_hr = modules.vae.apply(params["vae"], z_hr,
+                                           method=MelVAE.decode)[..., 0]
         if "voc" in skip:
             wav = x * (1.0 + 0.0 * mel_hr.sum())
         else:
@@ -123,6 +134,7 @@ def main():
         ("full", ()),
         ("-voc", ("voc",)),
         ("-unet", ("unet",)),
+        ("-dec", ("dec",)),
         ("-vae", ("vae", "unet")),       # vae skip implies no unet input
         ("-post", ("post",)),
         ("glue-only", ("vae", "unet", "voc", "post")),

@@ -35,8 +35,8 @@ from egregora_tpu.models.flashsr import ldm_unet
 from egregora_tpu.models.flashsr.ldm_unet import LDMUNet, LDMUNetConfig
 from egregora_tpu.utils.weights import fast_init_like
 
-B, F, M = 8, 128, 64
-ROUNDS = 5
+B, F, M = 26, 128, 64   # the 120 s bench program's real chunk batch
+ROUNDS = 6
 
 
 def _sync(a):
@@ -111,8 +111,16 @@ def run_variant(name, patches, x, t):
             jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x, t)),
             seed=0)
         fn = jax.jit(lambda p, z, tt: model.apply(p, z, tt).sum())
-        dt = time_fn(fn, jax.device_put(params), x, t)
-    return dt
+        params = jax.device_put(params)
+        fl = 0.0
+        try:
+            ca = fn.lower(params, x, t).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            fl = float(ca.get("flops", 0.0))
+        except Exception:
+            pass
+        dt = time_fn(fn, params, x, t)
+    return dt, fl
 
 
 def main():
@@ -134,25 +142,23 @@ def main():
         ("attn-1024", {"_chunked_attention": _attn_block(1024)}),
         ("no-gn", {"nn_GroupNorm": _IdGN}),
     ]
+    import types
+    fake_image = types.SimpleNamespace(resize=_resize_broadcast)
+    fake_jax = types.SimpleNamespace(**{**jax.__dict__, "image": fake_image})
+    variants.append(("no-resize", {"jax": fake_jax}))
+
     base = None
     for name, patches in variants:
-        dt = run_variant(name, patches, x, t)
+        dt, fl = run_variant(name, patches, x, t)
         over = (dt - null_dt) * 1e3
-        line = f"{name:10s} {dt*1e3:7.1f} ms  over-null {over:7.1f} ms"
+        mfu = 100.0 * fl / max(over, 1e-9) / 1e3 / 197e12 * 1e3
+        line = (f"{name:10s} {dt*1e3:7.1f} ms  over-null {over:7.1f} ms"
+                f"  flops {fl/1e9:7.1f} G  MFU {mfu:5.1f}%")
         if base is None:
             base = over
         else:
             line += f"  saves {base - over:6.1f} ms"
         print(line, flush=True)
-
-    # resize ablation needs the image module patched inside ldm_unet
-    import types
-    fake_image = types.SimpleNamespace(resize=_resize_broadcast)
-    fake_jax = types.SimpleNamespace(**{**jax.__dict__, "image": fake_image})
-    dt = run_variant("no-resize", {"jax": fake_jax}, x, t)
-    over = (dt - null_dt) * 1e3
-    print(f"{'no-resize':10s} {dt*1e3:7.1f} ms  over-null {over:7.1f} ms"
-          f"  saves {base - over:6.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
