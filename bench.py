@@ -421,9 +421,15 @@ def bench_device_pipeline(pipe, jnp) -> None:
     fully synced via a 4-byte reduction transfer; best of 3 reported
     (the relay adds variable per-dispatch latency that is not device
     work).  Also emits this program's MFU (XLA cost-analysis FLOPs /
-    wall / v5e bf16 peak)."""
+    wall / v5e bf16 peak).
+
+    Timed on a 240 s input (same sustained-window rationale as the
+    serving flagship): the ablation study (PARITY.md attribution table)
+    measured ~37 ms of every dispatch as fixed relay latency, not
+    device work — 7.8% of the 120 s program's wall but <4% at 240 s,
+    so the MFU line converges to the program's real utilization."""
     in_sr = 16000
-    secs = 120
+    secs = 240
     rng = np.random.default_rng(4)
     x_dev = jnp.asarray((rng.standard_normal((1, in_sr * secs)) * 0.1)
                         .astype(np.float32))

@@ -13,9 +13,11 @@ AttentionBlock ``norm/qkv/proj_out``, Downsample ``op``),
 Upsample), ``out.{0,2}`` — so a real checkpoint maps leaf-for-leaf
 through ``ldm_unet_name_map`` + ``convert_state_dict``.
 
-TPU-first: NHWC, bf16 matmuls with f32 norms, attention computed as
-exact query-chunked multi-head attention (vae._chunked_attention) so
-the [N, N] score matrix never materializes, nearest-resize upsampling
+TPU-first: NHWC, bf16 matmuls with f32 norms, attention via
+ops.attention.mha (query blocks unrolled on TPU — the in-context
+engine lab in tools/attn_lab.py, incl. why the Pallas flash kernel
+LOSES at these head dims, lives in ops/attention.py), nearest-resize
+upsampling
 (one fused XLA op), zero-init output convs (LDM convention — also the
 right init for distillation).
 
@@ -32,8 +34,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...ops.attention import mha
 from .unet import timestep_embedding
-from .vae import _chunked_attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -101,13 +103,11 @@ class LDMAttentionBlock(nn.Module):
             h.reshape(b, f * m, c).astype(self.dtype))
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads(t):   # [B, N, C] -> [B*H, N, hd]
-            return (t.reshape(b, f * m, self.num_heads, hd)
-                    .swapaxes(1, 2).reshape(b * self.num_heads, f * m, hd))
+        def heads(t):   # [B, N, C] -> [B, H, N, hd]
+            return t.reshape(b, f * m, self.num_heads, hd).swapaxes(1, 2)
 
-        o = _chunked_attention(heads(q), heads(k), heads(v))
-        o = (o.reshape(b, self.num_heads, f * m, hd).swapaxes(1, 2)
-             .reshape(b, f * m, c))
+        o = mha(heads(q), heads(k), heads(v))
+        o = o.swapaxes(1, 2).reshape(b, f * m, c)
         o = nn.Dense(c, kernel_init=nn.initializers.zeros, dtype=self.dtype,
                      name="proj_out")(o)
         return x + o.reshape(b, f, m, c)

@@ -61,27 +61,10 @@ class ResBlock(nn.Module):
         return x + h
 
 
-def _chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                       block: int = 256) -> jnp.ndarray:
-    """Exact single-head attention ``[B, N, C]`` with query chunking.
-
-    Each query block's full score row [block, N] is materialized (so the
-    softmax is exact, no online rescaling) but never the [N, N] matrix;
-    ``lax.map`` serializes blocks so the transient is O(B*block*N)."""
-    b, n, c = q.shape
-    scale = c ** -0.5
-    nb = -(-n // block)
-    qp = jnp.pad(q * scale, ((0, 0), (0, nb * block - n), (0, 0)))
-    qp = qp.reshape(b, nb, block, c).swapaxes(0, 1)       # [nb, B, block, C]
-
-    def one(qblk):
-        s = jnp.einsum("bqc,bkc->bqk", qblk, k,
-                       preferred_element_type=jnp.float32)
-        w = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-        return jnp.einsum("bqk,bkc->bqc", w, v)
-
-    out = jax.lax.map(one, qp)                            # [nb, B, block, C]
-    return out.swapaxes(0, 1).reshape(b, nb * block, c)[:, :n]
+# re-export: the implementation (and its Pallas flash fast path) moved
+# to ops.attention; kept importable here for back-compat
+from ...ops.attention import chunked_attention as _chunked_attention  # noqa: E402,F401
+from ...ops.attention import mha as _mha  # noqa: E402
 
 
 class AttnBlock2D(nn.Module):
@@ -100,8 +83,8 @@ class AttnBlock2D(nn.Module):
         q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(h)
         k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(h)
         v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(h)
-        o = _chunked_attention(q.reshape(b, f * m, c), k.reshape(b, f * m, c),
-                               v.reshape(b, f * m, c))
+        o = _mha(q.reshape(b, 1, f * m, c), k.reshape(b, 1, f * m, c),
+                 v.reshape(b, 1, f * m, c))[:, 0]
         o = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(o.reshape(b, f, m, c))
         return x + o
 

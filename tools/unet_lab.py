@@ -83,17 +83,16 @@ class _IdGN(nn.Module):
         return x.astype(self.dtype)
 
 
-def _attn_identity(q, k, v, block=256):
+def _attn_identity(q, k, v):
     return v
 
 
-def _attn_block(block):
-    from egregora_tpu.models.flashsr.vae import _chunked_attention
-
-    def f(q, k, v, _block=block):
-        return _chunked_attention(q, k, v, block=_block)
-
-    return f
+def _attn_chunked(q, k, v):
+    from egregora_tpu.ops.attention import chunked_attention
+    b, h, n, d = q.shape
+    o = chunked_attention(q.reshape(b * h, n, d), k.reshape(b * h, n, d),
+                          v.reshape(b * h, n, d))
+    return o.reshape(b, h, n, d)
 
 
 def _resize_broadcast(h, shape, method="nearest"):
@@ -137,9 +136,9 @@ def main():
         resize = staticmethod(_resize_broadcast)
 
     variants = [
-        ("full", {}),
-        ("no-attn", {"_chunked_attention": _attn_identity}),
-        ("attn-1024", {"_chunked_attention": _attn_block(1024)}),
+        ("full", {}),                              # unrolled attn on TPU
+        ("attn-chunked", {"mha": _attn_chunked}),  # the lax.map engine
+        ("no-attn", {"mha": _attn_identity}),
         ("no-gn", {"nn_GroupNorm": _IdGN}),
     ]
     import types
@@ -151,7 +150,7 @@ def main():
     for name, patches in variants:
         dt, fl = run_variant(name, patches, x, t)
         over = (dt - null_dt) * 1e3
-        mfu = 100.0 * fl / max(over, 1e-9) / 1e3 / 197e12 * 1e3
+        mfu = 100.0 * fl / (max(over, 1e-9) * 1e-3) / 197e12
         line = (f"{name:10s} {dt*1e3:7.1f} ms  over-null {over:7.1f} ms"
                 f"  flops {fl/1e9:7.1f} G  MFU {mfu:5.1f}%")
         if base is None:
