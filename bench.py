@@ -423,19 +423,38 @@ def bench_device_pipeline(pipe, jnp) -> None:
     work).  Also emits this program's MFU (XLA cost-analysis FLOPs /
     wall / v5e bf16 peak).
 
-    Timed on a 240 s input (same sustained-window rationale as the
-    serving flagship): the ablation study (PARITY.md attribution table)
-    measured ~37 ms of every dispatch as fixed relay latency, not
-    device work — 7.8% of the 120 s program's wall but <4% at 240 s,
-    so the MFU line converges to the program's real utilization."""
+    Stays at 120 s: 240 s doubles the chunk batch to 52 and the
+    HiFi-GAN MRF's NWC intermediates (bf16[52,245760,64], 2.2x lane
+    padding) blow the 16G HBM (measured: 19.9G).  Instead the fixed
+    relay dispatch latency — ~37-60 ms of every dispatch that is relay
+    infrastructure, not device work (PARITY.md ablation) — is measured
+    IN THIS RUN via a null program and reported as its own metric; the
+    headline MFU uses the dispatch-corrected wall, the raw-wall value
+    ships alongside."""
+    import jax
+
     in_sr = 16000
-    secs = 240
+    secs = 120
     rng = np.random.default_rng(4)
     x_dev = jnp.asarray((rng.standard_normal((1, in_sr * secs)) * 0.1)
                         .astype(np.float32))
 
     rtf, best_dt, red = _time_fused(pipe, jnp, x_dev, secs)
-    _emit_mfu(red, pipe, x_dev, best_dt, "flashsr_pipeline_mfu_pct")
+
+    # measured null-dispatch floor: same sync discipline, ~zero device work
+    null = jax.jit(lambda x: x.sum())
+    tiny = jnp.zeros((8,), jnp.float32)
+    _sync(null(tiny))
+    null_dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _sync(null(tiny))
+        null_dt = min(null_dt, time.time() - t0)
+    _emit("relay_dispatch_ms", null_dt * 1e3, "ms_fixed_per_dispatch", 0.0)
+
+    _emit_mfu(red, pipe, x_dev, max(best_dt - null_dt, 1e-6),
+              "flashsr_pipeline_mfu_pct")
+    _emit_mfu(red, pipe, x_dev, best_dt, "flashsr_pipeline_mfu_raw_pct")
 
     try:
         bench_istft_pipeline(pipe, jnp, x_dev, secs)
