@@ -196,6 +196,8 @@ def apply_fused(variables: dict, mel: jnp.ndarray,
     import flax.linen as nn_
 
     from ...ops.mrf_dense import mrf_dense_cm
+    from ...ops.mrf_packed import (conv_packed, mrf_packed, pack_batch,
+                                   unpack_batch)
     from ...ops.mrf_pallas import mrf_fused_cm, pack_resblock_weights
 
     p = variables["params"]
@@ -212,12 +214,29 @@ def apply_fused(variables: dict, mel: jnp.ndarray,
     h = nn_.Conv(c.upsample_initial, (7,), dtype=c.dtype).apply(
         {"params": p["Conv_0"]}, mel)
     ch = c.upsample_initial
+    packed_g = 0          # >0: h is batch-packed [B/g, T, g*ch]
     for i, (f, k) in enumerate(zip(c.upsample_factors, c.upsample_kernels)):
         ch = max(ch // 2, c.channel_floor)
         h = nn_.leaky_relu(h, 0.1)
         h = nn_.ConvTranspose(ch, (k,), strides=(f,), dtype=c.dtype).apply(
             {"params": p[f"ConvTranspose_{i}"]}, h)
-        if ch <= 64:
+        path = os.environ.get("EGREGORA_MRF_PATH", "pallas")
+        if ch <= 64 and path == "packed" and h.shape[0] % 2 == 0:
+            # batch-packed grouped convs: [B, T, 64] pads 2x into the
+            # 128 lanes; two items folded into the channel axis make
+            # the stage exactly lane-wide (ops/mrf_packed.py).  The
+            # LAST stage stays packed through the 1-ch post conv so
+            # the unpack transposes g channels, not 64.
+            g = 2
+            hp = mrf_packed(pack_batch(h.astype(c.dtype), g),
+                            p[f"MRF_{i}"], g, c.resblock_kernels,
+                            c.resblock_dilations[0])
+            if i == len(c.upsample_factors) - 1:
+                packed_g = g
+                h = hp
+            else:
+                h = unpack_batch(hp, g)
+        elif ch <= 64:
             # fuse the small-channel stages — where NWC lane padding
             # multiplies traffic AND where the samples-per-second are
             # highest.  Wide early stages (C >= 128) keep the XLA
@@ -243,7 +262,12 @@ def apply_fused(variables: dict, mel: jnp.ndarray,
             h = MRF(ch, c.resblock_kernels, c.resblock_dilations,
                     c.dtype).apply({"params": p[f"MRF_{i}"]}, h)
     h = nn_.leaky_relu(h, 0.1)
-    h = nn_.Conv(1, (7,), dtype=c.dtype).apply({"params": p["Conv_1"]}, h)
+    if packed_g:
+        h = conv_packed(h, jnp.asarray(p["Conv_1"]["kernel"]),
+                        jnp.asarray(p["Conv_1"]["bias"]), 1, packed_g)
+        h = unpack_batch(h, packed_g)          # [M, T, g] -> [B, T, 1]
+    else:
+        h = nn_.Conv(1, (7,), dtype=c.dtype).apply({"params": p["Conv_1"]}, h)
     return jnp.tanh(h.astype(jnp.float32))[..., 0]
 
 

@@ -122,3 +122,33 @@ def test_pipeline_env_gate(monkeypatch):
     assert P._fused_vocoder_enabled() is False     # CPU test env
     monkeypatch.setenv("EGREGORA_NO_FUSED_VOCODER", "1")
     assert P._fused_vocoder_enabled() is False     # NO_ wins over opt-in
+
+
+def test_mrf_packed_matches_module(monkeypatch):
+    """ops/mrf_packed: batch-packed grouped convs are BIT-exact vs the
+    flax MRF module (same conv op, same f32 accumulation — grouping
+    only relabels which lane a batch item occupies), and apply_fused
+    with EGREGORA_MRF_PATH=packed matches the module end-to-end,
+    staying packed through the 1-channel post conv."""
+    from egregora_tpu.models.flashsr.vocoder import MRF
+    from egregora_tpu.ops.mrf_packed import (mrf_packed, pack_batch,
+                                             unpack_batch)
+
+    c, t = 8, 384
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((4, t, c)).astype(np.float32))
+    kernels, dils = (3, 7, 11), (1, 3, 5)
+    mod = MRF(c, kernels, (dils,) * 3, jnp.float32)
+    params = mod.init(jax.random.PRNGKey(2), x[:1, :64])
+    ref = mod.apply(params, x)
+
+    # pack/unpack roundtrip + per-item independence under packing
+    assert np.array_equal(np.asarray(unpack_batch(pack_batch(x, 2), 2)),
+                          np.asarray(x))
+    got = unpack_batch(mrf_packed(pack_batch(x, 2), params["params"], 2,
+                                  kernels, dils), 2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    monkeypatch.setenv("EGREGORA_MRF_PATH", "packed")
+    cfg = _cfg(jnp.float32)
+    _check_fused(cfg, jnp.float32, 2e-4)

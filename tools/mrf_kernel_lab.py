@@ -77,6 +77,44 @@ def mrf_cm_dense(x_cm, weights, kernels=KERNELS, dilations=DILS):
     return acc / float(len(kernels))
 
 
+def mrf_packed_nwc(x, p, g=2, kernels=KERNELS, dilations=DILS):
+    """Batch-packed NWC MRF: fold ``g`` batch items into the channel
+    axis ([B, T, C] -> [B/g, T, g*C]) and run every conv with
+    ``feature_group_count=g`` (kernel tiled along the out axis — each
+    group applies the SAME weights to its own item).  At C=64 the plain
+    NWC layout pads 2x into the 128-wide lanes; packed, the tensor is
+    exactly lane-wide and traffic is logical bytes.  Same math
+    otherwise (SAME zero padding, bf16 casts, branch mean)."""
+    b, t, c = x.shape
+    m = b // g
+    xp = x.reshape(g, m, t, c).transpose(1, 2, 0, 3).reshape(m, t, g * c)
+
+    def conv(a, w, bias, d):
+        wg = jnp.concatenate([w.astype(DT)] * g, axis=-1)   # [k, C, g*C]
+        y = jax.lax.conv_general_dilated(
+            a, wg, window_strides=(1,), padding="SAME",
+            rhs_dilation=(d,), dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=g, preferred_element_type=jnp.float32)
+        return y.astype(a.dtype) + jnp.concatenate([bias.astype(DT)] * g)
+
+    def leaky(v):
+        return jnp.maximum(v, 0.1 * v)
+
+    acc = None
+    for bi, k in enumerate(kernels):
+        sub = p[f"ResBlock1D_{bi}"]
+        cur = xp
+        for mi, d in enumerate(dilations):
+            c1 = conv(leaky(cur), jnp.asarray(sub[f"Conv_{2*mi}"]["kernel"]),
+                      jnp.asarray(sub[f"Conv_{2*mi}"]["bias"]), d)
+            c2 = conv(leaky(c1), jnp.asarray(sub[f"Conv_{2*mi+1}"]["kernel"]),
+                      jnp.asarray(sub[f"Conv_{2*mi+1}"]["bias"]), 1)
+            cur = cur + c2
+        acc = cur if acc is None else acc + cur
+    out = acc / float(len(kernels))
+    return out.reshape(m, t, g, c).transpose(2, 0, 1, 3).reshape(b, t, c)
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     rng = np.random.default_rng(0)
@@ -115,9 +153,15 @@ def main():
     r_cm = jnp.swapaxes(mrf_cm_dense(xs_cm, weights), -1, -2)
     d = float(jnp.max(jnp.abs(r_ref.astype(jnp.float32) - r_cm.astype(jnp.float32))))
     print(f"xla-cm vs module max|delta| {d:.4f}", flush=True)
+    xs2 = x_nwc[:2, :2048]
+    r_pk = mrf_packed_nwc(xs2, p)
+    d2 = float(jnp.max(jnp.abs(mrf.apply(params, xs2).astype(jnp.float32)
+                               - r_pk.astype(jnp.float32))))
+    print(f"packed vs module max|delta| {d2:.4f}", flush=True)
 
+    f_pk = jax.jit(lambda x: mrf_packed_nwc(x, p).sum())
     for name, fn, arg in (("xla-nwc", f_nwc, None), ("pallas", f_pal, x_cm),
-                          ("xla-cm", f_cm, x_cm)):
+                          ("xla-cm", f_cm, x_cm), ("packed", f_pk, x_nwc)):
         dt = timeit(f_nwc, params, x_nwc) if arg is None else timeit(fn, arg)
         print(f"{name:8s} {dt*1e3:8.1f} ms wall  {(dt-over)*1e3:8.1f} over-null",
               flush=True)
