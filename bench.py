@@ -127,63 +127,52 @@ def bench_fatllama(jnp) -> None:
 
 
 def bench_evalpack(jnp) -> None:
-    """Config #2: fused SI-SDR/LSD + LUFS loudness on paired 48 kHz
-    clips — ONE jitted program per pair (each eager sub-metric used to
-    be its own relay dispatch; the 50-60 ms round trips dominated)."""
-    import jax
-
-    from egregora_tpu.eval.loudness import loudness_report
-    from egregora_tpu.eval.metrics import lsd_sisdr_report
+    """Config #2: fused SI-SDR/LSD + LUFS loudness on BATCHED paired
+    48 kHz clips — one jitted program evaluates a whole [P, T] pair
+    batch per dispatch (eval/batch.py).  Per-pair dispatch capped this
+    at ~16 pairs/s against the ~60 ms relay floor three rounds running
+    (VERDICT r4 #5); batching amortizes the dispatch across P pairs."""
+    from egregora_tpu.eval.batch import evalpack_report_batch
 
     sr = 48000
     rng = np.random.default_rng(1)
-    n_pairs = 8
-    a = jnp.asarray(rng.standard_normal((n_pairs, sr * 10)).astype(np.float32) * 0.1)
-    b = a + 0.01 * jnp.asarray(rng.standard_normal((n_pairs, sr * 10)).astype(np.float32))
-
-    @jax.jit
-    def one(ai, bi):
-        rep = lsd_sisdr_report(ai, bi)
-        loud = loudness_report(bi[None], sr)
-        return rep["si_sdr_db"] + loud["lufs_integrated"]
-
-    _sync(one(a[0], b[0]))  # compile
-    t0 = time.time()
-    for i in range(n_pairs):
-        _sync(one(a[i], b[i]))  # host-sync each pair, honest loop
-    dt = time.time() - t0
-    _emit("evalpack_pairs_s", n_pairs / dt, "pairs_per_s", 0.0)
+    for p, emit_name in ((8, "evalpack_pairs_s_p8"), (64, "evalpack_pairs_s")):
+        a = jnp.asarray(
+            rng.standard_normal((p, sr * 10)).astype(np.float32) * 0.1)
+        b = a + 0.01 * jnp.asarray(
+            rng.standard_normal((p, sr * 10)).astype(np.float32))
+        rep = evalpack_report_batch(a, b, sr)
+        _sync(rep["si_sdr_db"])  # compile
+        trials = 3
+        t0 = time.time()
+        for _ in range(trials):
+            rep = evalpack_report_batch(a, b, sr)
+            _sync(rep["si_sdr_db"])  # host-sync each batch, honest loop
+        dt = time.time() - t0
+        _emit(emit_name, trials * p / dt, "pairs_per_s", 0.0)
 
 
 def bench_nullsuite(jnp) -> None:
-    """Config #3: GCC-PHAT align + gain match + null subtract on an A/B
-    pair — ONE jitted program per pair (eager per-stage dispatches cost
-    ~50-60 ms each through the relay)."""
-    import jax
-
-    from egregora_tpu.eval.align import apply_frac_delay, xcorr_delay
-    from egregora_tpu.eval.nulltest import gain_match, null_test
+    """Config #3: GCC-PHAT align + gain match + null subtract on a
+    BATCHED [P, T] pair set — one program per batch (eval/batch.py),
+    P=8 and P=64 (VERDICT r4 #5)."""
+    from egregora_tpu.eval.batch import nullsuite_batch
 
     sr = 48000
     rng = np.random.default_rng(2)
-    a = jnp.asarray(rng.standard_normal((1, sr * 10)).astype(np.float32) * 0.1)
-    b = jnp.roll(a, 333, axis=1) * 0.8
-
-    @jax.jit
-    def run_pair(a, b):
-        lag = xcorr_delay(a[0], b[0], max_shift=sr // 5)
-        aligned = apply_frac_delay(b, -lag)
-        matched, gain_db, _, _ = gain_match(a, aligned, sr, mode="RMS")
-        null, metrics = null_test(a, matched, sr)
-        return null
-
-    _sync(run_pair(a, b))  # compile
-    trials = 5
-    t0 = time.time()
-    for _ in range(trials):
-        _sync(run_pair(a, b))
-    dt = time.time() - t0
-    _emit("nullsuite_pairs_s", trials / dt, "pairs_per_s", 0.0)
+    for p, emit_name in ((8, "nullsuite_pairs_s_p8"), (64, "nullsuite_pairs_s")):
+        a = jnp.asarray(
+            rng.standard_normal((p, sr * 10)).astype(np.float32) * 0.1)
+        b = jnp.roll(a, 333, axis=1) * 0.8
+        nulls, _ = nullsuite_batch(a, b, sr, max_shift=sr // 5)
+        _sync(nulls)  # compile
+        trials = 3
+        t0 = time.time()
+        for _ in range(trials):
+            nulls, _ = nullsuite_batch(a, b, sr, max_shift=sr // 5)
+            _sync(nulls)
+        dt = time.time() - t0
+        _emit(emit_name, trials * p / dt, "pairs_per_s", 0.0)
 
 
 def bench_link(jnp) -> None:

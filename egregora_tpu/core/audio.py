@@ -158,7 +158,16 @@ class AudioBuffer:
     def numpy(self) -> np.ndarray:
         a = np.asarray(self.samples)
         if a.dtype == np.int16:          # pcm16 wire output
-            return pcm16_decode(a)
+            dec = pcm16_decode(a)
+            # over-full-scale outputs ride the wire divided by
+            # meta["wire_scale"] = max(1, peak); multiply back here so
+            # the wire path preserves >1 peaks like the f32 path
+            scale = self.meta.get("wire_scale")
+            if scale is not None:
+                s = float(np.asarray(scale))
+                if s != 1.0:
+                    dec = dec * np.float32(s)
+            return dec
         return a
 
     # -- interop with the reference AUDIO dict ------------------------------

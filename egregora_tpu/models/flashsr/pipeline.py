@@ -303,6 +303,16 @@ class FlashSRPipeline:
         transfers move 2 bytes/sample instead of 4 (core.audio pcm16
         helpers at the host edges).  Dequantize/quantize are the first/
         last fused ops; everything between is identical float32.
+
+        The wire output is ``(int16, scale)`` with ``scale =
+        max(1, peak)``: outputs exceeding full scale (the f32 path
+        preserves peaks ~1.2 on hot program material) are divided down
+        before the int16 cast and multiplied back at decode
+        (``AudioBuffer.numpy``), instead of being silently hard-clipped
+        — the reference returns unclipped float tensors
+        (``egregora_audio_super_resolution.py:431``).  For peaks <= 1
+        the scale is exactly 1.0 and the wire is bit-identical to the
+        unscaled encoding.
         """
         if not hasattr(self, "_proc_cache"):
             self._proc_cache = {}
@@ -312,9 +322,9 @@ class FlashSRPipeline:
         if fn is not None:
             return fn
 
-        def run(params, x):
+        def run(params, x, in_scale=None):
             if wire:
-                x = x.astype(jnp.float32) * (1.0 / 32767.0)
+                x = x.astype(jnp.float32) * (in_scale / 32767.0)
             if in_sr != REQ_SR:
                 x = resample(x, in_sr, REQ_SR)
             c, total = x.shape
@@ -333,10 +343,13 @@ class FlashSRPipeline:
             if out_sr != REQ_SR:
                 out = resample(out, REQ_SR, out_sr)
             if wire:
-                out = jnp.rint(jnp.clip(out, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+                scale = jnp.maximum(1.0, jnp.max(jnp.abs(out)))
+                out = jnp.rint(jnp.clip(out / scale, -1.0, 1.0)
+                               * 32767.0).astype(jnp.int16)
+                return out, scale
             return out
 
-        fn = jax.jit(run)
+        fn = jax.jit(run) if wire else jax.jit(lambda params, x: run(params, x))
         self._proc_cache[key] = fn
         return fn
 
@@ -396,10 +409,24 @@ class FlashSRPipeline:
                                      pad_mult, wire=use_wire)
             if use_wire:
                 from ...core.audio import pcm16_encode
-                x = jnp.asarray(pcm16_encode(audio.samples))
+                xs = np.asarray(audio.samples)
+                # >1-peak inputs ride the wire divided down (mirror of
+                # the output scale) — pcm16_encode would hard-clip them
+                in_scale = max(1.0, float(np.max(np.abs(xs))) if xs.size else 1.0)
+                x = jnp.asarray(pcm16_encode(xs / np.float32(in_scale)
+                                             if in_scale != 1.0 else xs))
                 meta = dict(audio.meta)
                 meta["wire"] = "pcm16"
-                return AudioBuffer(fn(self.params, x), int(output_sr), meta)
+                out, scale = fn(self.params, x, jnp.float32(in_scale))
+                # queue the tiny scale transfer alongside the samples so
+                # decode never adds a blocking round trip; numpy()
+                # resolves it lazily
+                try:
+                    scale.copy_to_host_async()
+                except Exception:
+                    pass
+                meta["wire_scale"] = scale
+                return AudioBuffer(out, int(output_sr), meta)
             out = fn(self.params, audio.samples)
             return AudioBuffer(out, int(output_sr), dict(audio.meta))
 

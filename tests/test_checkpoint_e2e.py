@@ -139,6 +139,94 @@ def test_pth_trio_converts_and_runs(tmp_path):
     assert np.isfinite(np.asarray(wav)).all()
 
 
+def _upstream_published_cfg() -> FlashSRConfig:
+    """The PUBLISHED FlashSR_Inference/AudioSR checkpoint geometry,
+    vendored as a fixture (VERDICT r4 #6) — the exact layout a day-one
+    user's real ``vae.pth``/``student_ldm.pth``/``sr_vocoder.pth`` trio
+    carries (reference downloads these from HF dataset
+    ``jakeoneijk/FlashSR_weights``,
+    ``egregora_audio_super_resolution.py:282-317``):
+
+    * ``vae.pth``: AudioLDM-lineage AutoencoderKL — ch 128, ch_mult
+      (1, 2, 4), 2 res blocks per level, z_channels 16 (double_z:
+      conv_out emits 32 moments), mid ResBlock/Attn/ResBlock pair,
+      (post_)quant 1x1 convs.
+    * ``student_ldm.pth``: CompVis UNetModel — model_channels 128,
+      channel_mult (1, 2, 4), 2 res blocks, attention at ds (2, 4)
+      with the fused head-major QKVAttentionLegacy layout, num_heads 8
+      (NOT shape-recoverable — this case pins the default assumption),
+      in 32 (noise 16 ++ LR-conditioning 16), out 16.
+    * ``sr_vocoder.pth``: weight-normalized HiFi-GAN generator
+      (``weight_g``/``weight_v`` pairs) — 256 mels, initial 512,
+      upsample kernels (20, 16, 12) with the k = 2f convention
+      (factors 10*8*6 == the 480-sample mel hop), MRF kernels
+      (3, 7, 11) x dilations (1, 3, 5), channel floor 64.
+    """
+    return FlashSRConfig(
+        vae=VAEConfig(base_channels=128, channel_mults=(1, 2, 4),
+                      latent_channels=16, num_res_blocks=2, groups=32,
+                      mid_attn=True, use_quant_conv=True),
+        unet=LDMUNetConfig(in_channels=32, out_channels=16,
+                           model_channels=128, channel_mult=(1, 2, 4),
+                           num_res_blocks=2, attention_resolutions=(2, 4),
+                           num_heads=8, groups=32),
+        vocoder=VocoderConfig(n_mels=256, upsample_initial=512,
+                              upsample_factors=(10, 8, 6),
+                              upsample_kernels=(20, 16, 12),
+                              resblock_kernels=(3, 7, 11),
+                              resblock_dilations=((1, 3, 5),) * 3,
+                              channel_floor=64),
+    )
+
+
+def test_upstream_published_geometry_infers_converts_and_runs(tmp_path):
+    """Drive the full infer -> convert -> forward path on a synthetic
+    trio at the EXACT published upstream geometry (VERDICT r4 #6) —
+    full widths, weight-normed vocoder keys, 8-head fused qkv — so the
+    num_heads=8 / k=2f / (1,3,5)-dilation assumptions the shape
+    inference takes on faith are exercised at the layout real users
+    feed, not a repo-chosen one."""
+    from egregora_tpu.models.flashsr.geometry import infer_flashsr_config
+    from egregora_tpu.utils.weights import (load_converted_flashsr,
+                                            load_torch_state_dict)
+
+    assert "EGREGORA_FLASHSR_NUM_HEADS" not in __import__("os").environ
+    cfg = _upstream_published_cfg()
+    _build_trio(cfg, tmp_path)
+    sds = {n: load_torch_state_dict(tmp_path / f"{n}.pth")
+           for n in ("vae", "student_ldm", "sr_vocoder")}
+    # weight-norm really present in the vocoder file
+    assert any(k.endswith("weight_g") for k in sds["sr_vocoder"])
+
+    got = infer_flashsr_config(sds["vae"], sds["student_ldm"],
+                               sds["sr_vocoder"])
+    assert got.vae == cfg.vae
+    assert got.unet == cfg.unet and got.unet.num_heads == 8
+    assert got.vocoder == cfg.vocoder
+
+    out = load_converted_flashsr(ckpt_dir=tmp_path)
+    assert out is not None
+    got_cfg, params = out
+    assert got_cfg.unet == cfg.unet
+
+    # forward at the converted full-width params (32-frame extent: the
+    # latent must survive the UNet's two downsamples, 8 -> 4 -> 2)
+    modules = FlashSRModules(got_cfg)
+    mel_img = jnp.zeros((1, 32, 256, 1), jnp.float32)
+    z = modules.vae.apply(params["vae"], mel_img,
+                          method=type(modules.vae).encode)
+    assert z.shape == (1, 8, 64, 16)
+    zi = jnp.concatenate([z, z], axis=-1)
+    pred = modules.unet.apply(params["student_ldm"], zi, jnp.ones((1,)))
+    assert pred.shape == (1, 8, 64, 16)
+    mel_dec = modules.vae.apply(params["vae"], pred,
+                                method=type(modules.vae).decode)
+    assert mel_dec.shape == mel_img.shape
+    wav = modules.vocoder.apply(params["sr_vocoder"], mel_img[..., 0])
+    assert wav.shape == (1, 32 * 480)
+    assert np.isfinite(np.asarray(wav)).all()
+
+
 # ---------------- geometry inference (VERDICT r3 next #3) ----------------
 
 def _wide_cfg() -> FlashSRConfig:
