@@ -141,7 +141,23 @@ def synth_pair_batch(key: jax.Array, batch: int, length: int,
 PRETRAINED_ISTFT = Path(__file__).parent / "pretrained_istft.npz"
 
 
-def _vocoder_loss(modules, frozen, voc_params, lr_wave, hr_wave, rng):
+def _neg_sisdr(est: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
+    """Mean negative SI-SDR (dB) over the batch — the gate metric as a
+    loss surrogate (eval/metrics.lsd_sisdr_report computes the same
+    quantity per item)."""
+    est = est - jnp.mean(est, axis=-1, keepdims=True)
+    ref = ref - jnp.mean(ref, axis=-1, keepdims=True)
+    a = (jnp.sum(est * ref, axis=-1, keepdims=True)
+         / (jnp.sum(ref * ref, axis=-1, keepdims=True) + 1e-9))
+    proj = a * ref
+    err = est - proj
+    ratio = (jnp.sum(proj * proj, axis=-1)
+             / (jnp.sum(err * err, axis=-1) + 1e-9))
+    return -jnp.mean(10.0 * jnp.log10(ratio + 1e-12))
+
+
+def _vocoder_loss(modules, frozen, voc_params, lr_wave, hr_wave, rng,
+                  sisdr_w: float = 0.0):
     """Loss for training the SpectralVocoder against a FROZEN shipped
     VAE/UNet (the round-3 post-mortem localized the pipeline LSD floor
     in the mel->waveform stage; the latent path contributes ~zero).
@@ -151,7 +167,12 @@ def _vocoder_loss(modules, frozen, voc_params, lr_wave, hr_wave, rng):
     the vocoder actually sees at inference).  MR-STFT + mel L2 carry
     the magnitude (the LSD metric); a small waveform L2 anchors the
     absolute phase that magnitude losses leave free (post-OLA
-    magnitudes already force inter-frame phase coherence)."""
+    magnitudes already force inter-frame phase coherence).
+
+    ``sisdr_w`` (VERDICT r4 #3) adds the gate metric itself as a loss
+    on BOTH branches, plus a waveform L2 on the decoded-mel branch —
+    the round-4 head lost SI-SDR to passthrough on the monitor because
+    nothing waveform-aligned constrained the branch it actually serves."""
     hop, n_mels, n_fft = 480, 256, 2048
     from .train import _mrstft
     frames = lr_wave.shape[-1] // hop
@@ -173,10 +194,15 @@ def _vocoder_loss(modules, frozen, voc_params, lr_wave, hr_wave, rng):
     wav2 = modules.vocoder.apply(voc_params, mel_dec)[:, :n]
     mel1 = log_mel(wav1, n_fft=n_fft, hop=hop, n_mels=n_mels)[:, :frames]
     mel2 = log_mel(wav2, n_fft=n_fft, hop=hop, n_mels=n_mels)[:, :frames]
-    return (_mrstft(wav1, hr_wave) + _mrstft(wav2, hr_wave)
+    loss = (_mrstft(wav1, hr_wave) + _mrstft(wav2, hr_wave)
             + 0.5 * (jnp.mean(jnp.square(mel1 - mel_hr))
                      + jnp.mean(jnp.square(mel2 - mel_hr)))
             + 20.0 * jnp.mean(jnp.square(wav1 - hr_wave)))
+    if sisdr_w:
+        loss = loss + (sisdr_w * (_neg_sisdr(wav1, hr_wave)
+                                  + _neg_sisdr(wav2, hr_wave))
+                       + 20.0 * jnp.mean(jnp.square(wav2 - hr_wave)))
+    return loss
 
 
 def distill_vocoder(steps: int = 20000, batch: int = 8, frames: int = 128,
@@ -185,7 +211,7 @@ def distill_vocoder(steps: int = 20000, batch: int = 8, frames: int = 128,
                     out_path: Path = PRETRAINED_ISTFT,
                     scan_size: int = 1, ckpt_every: int = 0,
                     hidden: int = 256, depth: int = 6,
-                    resume: bool = False) -> dict:
+                    resume: bool = False, sisdr_w: float = 0.0) -> dict:
     """Train an iSTFT-head SpectralVocoder against the shipped frozen
     VAE/UNet and write a complete trio npz (frozen parts copied in), so
     the result is directly loadable by ``load_pretrained_with_cfg`` /
@@ -244,7 +270,8 @@ def distill_vocoder(steps: int = 20000, batch: int = 8, frames: int = 128,
             kd, kn = jax.random.split(k)
             lr_w, hr_w = synth_pair_batch(kd, batch, length)
             loss, grads = jax.value_and_grad(
-                lambda p: _vocoder_loss(modules, frz, p, lr_w, hr_w, kn))(vp)
+                lambda p: _vocoder_loss(modules, frz, p, lr_w, hr_w, kn,
+                                        sisdr_w=sisdr_w))(vp)
             updates, os_ = tx.update(grads, os_, vp)
             vp = optax.apply_updates(vp, updates)
             return (vp, os_), loss
@@ -622,6 +649,9 @@ if __name__ == "__main__":
                     help="SpectralVocoder backbone width (--vocoder-only)")
     ap.add_argument("--depth", type=int, default=6,
                     help="SpectralVocoder ConvNeXt blocks (--vocoder-only)")
+    ap.add_argument("--sisdr-w", type=float, default=0.0,
+                    help="weight of the SI-SDR surrogate + decoded-branch "
+                         "waveform L2 (--vocoder-only; VERDICT r4 #3)")
     a = ap.parse_args()
     if a.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -629,7 +659,8 @@ if __name__ == "__main__":
     if a.vocoder_only:
         distill_vocoder(steps=a.steps, batch=a.batch, frames=a.frames, lr=a.lr,
                         seed=a.seed, scan_size=a.scan, ckpt_every=a.ckpt_every,
-                        hidden=a.hidden, depth=a.depth, resume=a.resume)
+                        hidden=a.hidden, depth=a.depth, resume=a.resume,
+                        sisdr_w=a.sisdr_w)
     else:
         distill(steps=a.steps, batch=a.batch, frames=a.frames, lr=a.lr,
                 seed=a.seed, scan_size=a.scan, ckpt_every=a.ckpt_every,

@@ -46,6 +46,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _scores_dtype():
+    """HBM dtype of the pre-softmax score blocks.  The [block, N] score
+    transient is the dominant HBM traffic of every attention call in
+    this stack (3.5 GB/call at the UNet ds=2 geometry, 7 GB at the VAE
+    mid-block) — ``EGREGORA_ATTN_SCORES=bf16`` halves it by writing the
+    QK product in bf16 (softmax still subtracts the row max and
+    exponentiates in f32, so only the logits themselves round: |err| <=
+    2^-8 relative, ~0.4% on softmax weights)."""
+    return (jnp.bfloat16
+            if os.environ.get("EGREGORA_ATTN_SCORES", "") == "bf16"
+            else jnp.float32)
+
+
 def chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       block: int = 256) -> jnp.ndarray:
     """Exact single-head attention ``[B, N, C]`` with query chunking.
@@ -56,14 +69,15 @@ def chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     the compiled body is one block (compile-lean for the CPU suite)."""
     b, n, c = q.shape
     scale = c ** -0.5
+    sd = _scores_dtype()
     nb = -(-n // block)
     qp = jnp.pad(q * scale, ((0, 0), (0, nb * block - n), (0, 0)))
     qp = qp.reshape(b, nb, block, c).swapaxes(0, 1)       # [nb, B, block, C]
 
     def one(qblk):
         s = jnp.einsum("bqc,bkc->bqk", qblk, k,
-                       preferred_element_type=jnp.float32)
-        w = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+                       preferred_element_type=sd)
+        w = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
         return jnp.einsum("bqk,bkc->bqc", w, v)
 
     out = jax.lax.map(one, qp)                            # [nb, B, block, C]
@@ -78,11 +92,12 @@ def unrolled_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     and cost_analysis sees every FLOP."""
     b, n, c = q.shape
     q = q * (c ** -0.5)
+    sd = _scores_dtype()
     outs = []
     for i in range(0, n, block):
         s = jnp.einsum("bqc,bkc->bqk", q[:, i:i + block], k,
-                       preferred_element_type=jnp.float32)
-        w = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+                       preferred_element_type=sd)
+        w = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v.dtype)
         outs.append(jnp.einsum("bqk,bkc->bqc", w, v))
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
@@ -97,6 +112,10 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     if path == "auto":
         path = "unroll" if jax.default_backend() == "tpu" else "chunked"
     fn = unrolled_attention if path == "unroll" else chunked_attention
+    kw = {}
+    blk = os.environ.get("EGREGORA_ATTN_BLOCK", "")
+    if blk:
+        kw["block"] = int(blk)
     o = fn(q.reshape(b * h, n, d), k.reshape(b * h, n, d),
-           v.reshape(b * h, n, d))
+           v.reshape(b * h, n, d), **kw)
     return o.reshape(b, h, n, d)

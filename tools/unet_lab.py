@@ -95,6 +95,34 @@ def _attn_chunked(q, k, v):
     return o.reshape(b, h, n, d)
 
 
+def _attn_unroll_block(block):
+    def f(q, k, v):
+        from egregora_tpu.ops.attention import unrolled_attention
+        b, h, n, d = q.shape
+        o = unrolled_attention(q.reshape(b * h, n, d), k.reshape(b * h, n, d),
+                               v.reshape(b * h, n, d), block=block)
+        return o.reshape(b, h, n, d)
+    return f
+
+
+def _attn_bf16_scores(block=512):
+    """Unrolled engine writing the raw scores in bf16 (halves the
+    dominant [blk, N] HBM transient); softmax still reduces in f32."""
+    def f(q, k, v):
+        b, h, n, d = q.shape
+        q2 = q.reshape(b * h, n, d) * (d ** -0.5)
+        k2, v2 = k.reshape(b * h, n, d), v.reshape(b * h, n, d)
+        outs = []
+        for i in range(0, n, block):
+            s = jnp.einsum("bqc,bkc->bqk", q2[:, i:i + block], k2,
+                           preferred_element_type=jnp.bfloat16)
+            w = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(v2.dtype)
+            outs.append(jnp.einsum("bqk,bkc->bqc", w, v2))
+        o = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        return o.reshape(b, h, n, d)
+    return f
+
+
 def _resize_broadcast(h, shape, method="nearest"):
     b, f2, m2, c = shape
     b0, f0, m0, c0 = h.shape
@@ -137,7 +165,9 @@ def main():
 
     variants = [
         ("full", {}),                              # unrolled attn on TPU
-        ("attn-chunked", {"mha": _attn_chunked}),  # the lax.map engine
+        ("attn-b512", {"mha": _attn_unroll_block(512)}),
+        ("attn-b2048", {"mha": _attn_unroll_block(2048)}),
+        ("attn-bf16s", {"mha": _attn_bf16_scores(512)}),
         ("no-attn", {"mha": _attn_identity}),
         ("no-gn", {"nn_GroupNorm": _IdGN}),
     ]
@@ -145,6 +175,10 @@ def main():
     fake_image = types.SimpleNamespace(resize=_resize_broadcast)
     fake_jax = types.SimpleNamespace(**{**jax.__dict__, "image": fake_image})
     variants.append(("no-resize", {"jax": fake_jax}))
+
+    only = set(sys.argv[1:])
+    if only:
+        variants = [v for v in variants if v[0] in only]
 
     base = None
     for name, patches in variants:
