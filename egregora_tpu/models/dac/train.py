@@ -672,7 +672,11 @@ def guarded_retrain(model_type: str, steps: int, batch: int, length: int,
     if decoder_dim:
         cfg = _dc.replace(cfg, decoder_dim=decoder_dim)
     if hop:
-        strides = {64: (2, 4, 4, 2), 128: (2, 4, 4, 4)}[hop]
+        # hop 32 (round 5): at 24/16 kHz the hop-64 latent rate is only
+        # 375/250 frames/s vs 689 at 44.1 kHz — capacity per SECOND, not
+        # per frame, is what the lower rates were missing (44k cleared
+        # the LSD<=7.5 bar at this geometry; 24k sat at 8.3).
+        strides = {32: (2, 4, 2, 2), 64: (2, 4, 4, 2), 128: (2, 4, 4, 4)}[hop]
         cfg = _dc.replace(cfg, strides=strides)
     print(f"[dac-guarded:{model_type}] retrain geometry: "
           f"encoder_dim={cfg.encoder_dim} strides={cfg.strides}", flush=True)
@@ -770,7 +774,7 @@ if __name__ == "__main__":
                          "(optionally widened) geometry instead of fine-tune")
     ap.add_argument("--encoder-dim", type=int, default=0,
                     help="retrain geometry override (0 = keep default)")
-    ap.add_argument("--hop", type=int, default=0, choices=(0, 64, 128),
+    ap.add_argument("--hop", type=int, default=0, choices=(0, 32, 64, 128),
                     help="retrain hop override via strides (0 = keep default)")
     ap.add_argument("--codebook-dim", type=int, default=0,
                     help="retrain RVQ stage rank override (0 = keep default)")

@@ -110,12 +110,18 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     b, h, n, d = q.shape
     path = os.environ.get("EGREGORA_ATTN_PATH", "auto")
     if path == "auto":
+        # pallas becomes the TPU default once attn_kernel_lab + unet_lab
+        # confirm the win in-context (flip pending measurement)
         path = "unroll" if jax.default_backend() == "tpu" else "chunked"
-    fn = unrolled_attention if path == "unroll" else chunked_attention
+    if path == "pallas":
+        from .attn_pallas import flash_rows
+        fn = flash_rows
+    else:
+        fn = unrolled_attention if path == "unroll" else chunked_attention
     kw = {}
     blk = os.environ.get("EGREGORA_ATTN_BLOCK", "")
     if blk:
-        kw["block"] = int(blk)
+        kw["block_q" if path == "pallas" else "block"] = int(blk)
     o = fn(q.reshape(b * h, n, d), k.reshape(b * h, n, d),
            v.reshape(b * h, n, d), **kw)
     return o.reshape(b, h, n, d)
