@@ -190,8 +190,10 @@ def _vocoder_loss(modules, frozen, voc_params, lr_wave, hr_wave, rng,
         modules.vae.apply(frozen["vae"], z, method=MelVAE.decode)[..., 0])
 
     n = hr_wave.shape[-1]
-    wav1 = modules.vocoder.apply(voc_params, mel_hr)[:, :n]
-    wav2 = modules.vocoder.apply(voc_params, mel_dec)[:, :n]
+    kw = ({"ref": lr_wave}
+          if getattr(modules.vocoder.cfg, "phase_cond", False) else {})
+    wav1 = modules.vocoder.apply(voc_params, mel_hr, **kw)[:, :n]
+    wav2 = modules.vocoder.apply(voc_params, mel_dec, **kw)[:, :n]
     mel1 = log_mel(wav1, n_fft=n_fft, hop=hop, n_mels=n_mels)[:, :frames]
     mel2 = log_mel(wav2, n_fft=n_fft, hop=hop, n_mels=n_mels)[:, :frames]
     loss = (_mrstft(wav1, hr_wave) + _mrstft(wav2, hr_wave)
@@ -211,7 +213,8 @@ def distill_vocoder(steps: int = 20000, batch: int = 8, frames: int = 128,
                     out_path: Path = PRETRAINED_ISTFT,
                     scan_size: int = 1, ckpt_every: int = 0,
                     hidden: int = 256, depth: int = 6,
-                    resume: bool = False, sisdr_w: float = 0.0) -> dict:
+                    resume: bool = False, sisdr_w: float = 0.0,
+                    phase_cond: bool = False) -> dict:
     """Train an iSTFT-head SpectralVocoder against the shipped frozen
     VAE/UNet and write a complete trio npz (frozen parts copied in), so
     the result is directly loadable by ``load_pretrained_with_cfg`` /
@@ -239,13 +242,16 @@ def distill_vocoder(steps: int = 20000, batch: int = 8, frames: int = 128,
         voc_params = prev_params["sr_vocoder"]
         print(f"[distill-voc] resuming from {out_path}", flush=True)
     else:
-        voc_cfg = VocoderConfig(kind="istft", hidden=hidden, depth=depth)
+        voc_cfg = VocoderConfig(kind="istft", hidden=hidden, depth=depth,
+                                phase_cond=phase_cond)
         cfg = dc.replace(cfg0, vocoder=voc_cfg)
         modules = FlashSRModules(cfg)
 
         def build():
             mel = jnp.zeros((1, 128, 256), jnp.float32)
-            return modules.vocoder.init(jax.random.PRNGKey(seed), mel)
+            kw = {"ref": jnp.zeros((1, 128 * 480), jnp.float32)} \
+                if phase_cond else {}
+            return modules.vocoder.init(jax.random.PRNGKey(seed), mel, **kw)
 
         from ...utils.weights import fast_init_like
         voc_params = fast_init_like(jax.eval_shape(build), seed)
@@ -652,6 +658,12 @@ if __name__ == "__main__":
     ap.add_argument("--sisdr-w", type=float, default=0.0,
                     help="weight of the SI-SDR surrogate + decoded-branch "
                          "waveform L2 (--vocoder-only; VERDICT r4 #3)")
+    ap.add_argument("--phase-cond", action="store_true",
+                    help="condition the istft head on the input chunk's "
+                         "complex STFT (--vocoder-only)")
+    ap.add_argument("--out", type=str, default="",
+                    help="candidate output path (--vocoder-only; default "
+                         "overwrites the shipped pretrained_istft.npz)")
     a = ap.parse_args()
     if a.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -660,7 +672,8 @@ if __name__ == "__main__":
         distill_vocoder(steps=a.steps, batch=a.batch, frames=a.frames, lr=a.lr,
                         seed=a.seed, scan_size=a.scan, ckpt_every=a.ckpt_every,
                         hidden=a.hidden, depth=a.depth, resume=a.resume,
-                        sisdr_w=a.sisdr_w)
+                        sisdr_w=a.sisdr_w, phase_cond=a.phase_cond,
+                        **({"out_path": Path(a.out)} if a.out else {}))
     else:
         distill(steps=a.steps, batch=a.batch, frames=a.frames, lr=a.lr,
                 seed=a.seed, scan_size=a.scan, ckpt_every=a.ckpt_every,

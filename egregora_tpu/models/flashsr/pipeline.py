@@ -228,6 +228,11 @@ class FlashSRPipeline:
         if cfg.vocoder.kind == "hifigan" and _fused_vocoder_enabled():
             from .vocoder import apply_fused
             wav = apply_fused(params["sr_vocoder"], mel_hr, cfg.vocoder)
+        elif getattr(cfg.vocoder, "phase_cond", False):
+            # istft head conditioned on the input chunk's complex STFT
+            # (harmonic phase extrapolation — see VocoderConfig)
+            wav = self.modules.vocoder.apply(params["sr_vocoder"], mel_hr,
+                                             ref=x)
         else:
             wav = self.modules.vocoder.apply(params["sr_vocoder"], mel_hr)
         wav = wav[:, :CHUNK_SAMPLES]

@@ -41,6 +41,12 @@ class VocoderConfig:
     depth: int = 6               # istft ConvNeXt-1D blocks
     mlp_ratio: int = 3
     istft_nfft: int = 1920       # 4 * hop(480) -> slice-add OLA
+    # condition the istft head on the INPUT chunk's complex STFT (round
+    # 5): a mel-only vocoder invents phase, so its high band is
+    # uncorrelated with the truth and always loses SI-SDR to the LR
+    # passthrough; with the input's low-band phase in view, harmonic
+    # phase extrapolation becomes learnable.
+    phase_cond: bool = False
 
 
 class ResBlock1D(nn.Module):
@@ -145,13 +151,32 @@ class SpectralVocoder(nn.Module):
     cfg: VocoderConfig = VocoderConfig(kind="istft")
 
     @nn.compact
-    def __call__(self, mel):
+    def __call__(self, mel, ref=None):
         c = self.cfg
         n_fft = c.istft_nfft
         hop = 480
         nbins = n_fft // 2 + 1
         x = nn.Conv(c.hidden, (7,), dtype=c.dtype)(mel.astype(c.dtype))
         x = nn.LayerNorm(dtype=c.dtype)(x)
+        if c.phase_cond:
+            if ref is None:
+                raise ValueError("phase_cond vocoder needs the input chunk")
+            # the input chunk's complex STFT on the head's own synthesis
+            # grid (frame f centered at f*hop, like log_mel's frames):
+            # unit-phase cos/sin + log-magnitude per bin, projected into
+            # the backbone width and added to the stem.
+            from ...ops.stft import stft_conv
+            pad = [(0, 0)] * (ref.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+            rr, ri = stft_conv(jnp.pad(ref.astype(jnp.float32), pad,
+                                       mode="reflect"), n_fft, hop)
+            m = jnp.sqrt(rr * rr + ri * ri)
+            inv = 1.0 / (m + 1e-6)
+            f = mel.shape[-2]
+            feats = jnp.concatenate(
+                [rr * inv, ri * inv, jnp.log(m + 1e-5)], axis=-1)[:, :f]
+            feats = jnp.pad(feats, ((0, 0), (0, f - feats.shape[1]), (0, 0)))
+            x = x + nn.Dense(c.hidden, dtype=c.dtype,
+                             name="phase_in")(feats.astype(c.dtype))
         for _ in range(c.depth):
             x = ConvNeXtBlock1D(c.hidden, c.hidden * c.mlp_ratio, c.dtype)(x)
         x = nn.LayerNorm(dtype=c.dtype)(x)

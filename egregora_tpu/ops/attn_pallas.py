@@ -66,9 +66,14 @@ def flash_rows(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if n >= 8192:
         block_q = min(block_q, 512)
     bq = min(block_q, n)
-    assert n % bq == 0, (n, bq)
-    grid = (b, n // bq)
-    return pl.pallas_call(
+    nq = n
+    if n % bq:
+        # pad query rows up to a block multiple; the pad rows attend the
+        # real keys (finite softmax, no NaN) and are sliced away below
+        nq = -(-n // bq) * bq
+        q = jnp.pad(q, ((0, 0), (0, nq - n), (0, 0)))
+    grid = (b, nq // bq)
+    out = pl.pallas_call(
         functools.partial(_kernel, scale=float(d) ** -0.5),
         grid=grid,
         in_specs=[
@@ -77,6 +82,7 @@ def flash_rows(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, n, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, nq, d), q.dtype),
         interpret=interpret,
     )(q, k, v)
+    return out[:, :n] if nq != n else out
