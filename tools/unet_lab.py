@@ -163,8 +163,16 @@ def main():
     class _Resize:
         resize = staticmethod(_resize_broadcast)
 
+    def _attn_pallas(q, k, v):
+        from egregora_tpu.ops.attn_pallas import flash_rows
+        b, h, n, d = q.shape
+        o = flash_rows(q.reshape(b * h, n, d), k.reshape(b * h, n, d),
+                       v.reshape(b * h, n, d))
+        return o.reshape(b, h, n, d)
+
     variants = [
         ("full", {}),                              # unrolled attn on TPU
+        ("attn-pallas", {"mha": _attn_pallas}),
         ("attn-b512", {"mha": _attn_unroll_block(512)}),
         ("attn-b2048", {"mha": _attn_unroll_block(2048)}),
         ("attn-bf16s", {"mha": _attn_bf16_scores(512)}),
