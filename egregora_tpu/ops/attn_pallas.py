@@ -37,6 +37,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Pallas custom calls report ZERO flops to XLA cost_analysis, which
+# bench.py's MFU lines are built on.  flash_rows logs its true FLOPs
+# (4*b*n*n*d per call) at trace time; bench resets the log before
+# lowering a program and adds the sum back to the cost-analysis count.
+FLOP_LOG: list = []
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     q = q_ref[0]                                  # [BQ, D]
     k = k_ref[0]                                  # [N, D]
@@ -52,7 +59,6 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
 def flash_rows(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                block_q: int = 1024, interpret: bool = False) -> jnp.ndarray:
     """Exact attention ``[B, N, D] -> [B, N, D]`` (B = batch*heads).
@@ -61,8 +67,13 @@ def flash_rows(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     and the bf16 weights: ~2.5x block_q*N*4 bytes); 1024 is ~20 MB at
     N=2048 and is clamped to 512 at N=8192 (VAE mid-block) to stay
     under half of VMEM with the pipeline's k/v buffers.
+
+    Unjitted on purpose: the body is trace-time-cheap, callers are
+    jitted programs, and the FLOP_LOG append must run on every outer
+    trace (a jit cache here would swallow it).
     """
     b, n, d = q.shape
+    FLOP_LOG.append(4 * b * n * n * d)
     if n >= 8192:
         block_q = min(block_q, 512)
     bq = min(block_q, n)

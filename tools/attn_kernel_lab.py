@@ -44,15 +44,16 @@ def main():
     shapes = [("unet-ds2", 208, 2048, 32), ("unet-ds4", 208, 512, 64),
               ("vae-mid", 26, 8192, 256)]
     un = jax.jit(unrolled_attention)
+    fl = jax.jit(flash_rows)
     for name, b, n, d in shapes:
         q = jnp.asarray(rng.standard_normal((b, n, d)), jnp.bfloat16)
         k = jnp.asarray(rng.standard_normal((b, n, d)), jnp.bfloat16)
         v = jnp.asarray(rng.standard_normal((b, n, d)), jnp.bfloat16)
         null_dt = time_fn(null, q)
         t_un = time_fn(un, q, k, v) - null_dt
-        t_fl = time_fn(flash_rows, q, k, v) - null_dt
+        t_fl = time_fn(fl, q, k, v) - null_dt
         r = np.asarray(un(q, k, v), np.float32)
-        g = np.asarray(flash_rows(q, k, v), np.float32)
+        g = np.asarray(fl(q, k, v), np.float32)
         flops = 4 * b * n * n * d
         print(f"{name:9s} unroll {t_un*1e3:7.2f} ms ({flops/t_un/1e12:5.1f} TF/s)"
               f"  pallas {t_fl*1e3:7.2f} ms ({flops/t_fl/1e12:5.1f} TF/s)"

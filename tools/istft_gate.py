@@ -1,0 +1,82 @@
+"""Gate an istft-trio candidate npz against the shipped trio's bars.
+
+Runs the same draws the shipped pretrained_istft.json records: the
+evaluate() monitor on seeds {7,17,27,123,555} (n=2) plus the seed-123
+gate pair (full CHUNK_SAMPLES, lsd_sisdr_report), and prints a
+promote/reject verdict vs VERDICT r4 #3's bars:
+
+  * gate-pair SI-SDR >= 8.79 (the HiFi-GAN trio's)
+  * monitor sisdr_model >= sisdr_passthrough (seed 7, n=4 top-level)
+  * LSD must not regress: every seed's lsd_model <= shipped + 0.3
+
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/istft_gate.py <candidate.npz> [--cpu]
+"""
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+    sys.argv.remove("--cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def main():
+    from egregora_tpu.eval.metrics import lsd_sisdr_report
+    from egregora_tpu.models.flashsr.distill import (PRETRAINED_ISTFT,
+                                                     evaluate,
+                                                     load_pretrained_with_cfg,
+                                                     synth_pair_batch)
+    from egregora_tpu.models.flashsr.pipeline import (CHUNK_SAMPLES,
+                                                      FlashSRPipeline)
+
+    cand = Path(sys.argv[1])
+    print("devices:", jax.devices(), flush=True)
+    cfg, params = load_pretrained_with_cfg(cand)
+
+    shipped_json = {}
+    sj = PRETRAINED_ISTFT.with_suffix(".json")
+    if sj.exists():
+        shipped_json = json.loads(sj.read_text())
+    shipped_spread = shipped_json.get("eval_spread_n2", {})
+
+    top = evaluate(params, cfg, seed=7, n=4)
+    print("monitor (seed 7, n=4):", {k: round(v, 2) for k, v in top.items()},
+          flush=True)
+
+    spread = {}
+    for seed in (7, 17, 27, 123, 555):
+        m = evaluate(params, cfg, seed=seed, n=2)
+        spread[str(seed)] = {k: round(v, 2) for k, v in m.items()}
+        print(f"seed {seed}: {spread[str(seed)]}", flush=True)
+
+    pipe = FlashSRPipeline(cfg, params=params)
+    lr, hr = synth_pair_batch(jax.random.PRNGKey(123), 1, CHUNK_SAMPLES)
+    out = pipe._jit_forward(params, lr, lowpass_input=False)
+    rep = lsd_sisdr_report(hr[0], out[0])
+    gate = {"lsd": round(float(rep["lsd_mean_db"]), 2),
+            "sisdr": round(float(rep["si_sdr_db"]), 2)}
+    print("gate pair (seed 123):", gate, flush=True)
+
+    ok_sisdr_gate = gate["sisdr"] >= 8.79
+    ok_monitor = top["sisdr_model"] >= top["sisdr_passthrough"]
+    ok_lsd = all(
+        spread[s]["lsd_model"] <= shipped_spread.get(s, {}).get(
+            "lsd_model", 7.0) + 0.3
+        for s in spread)
+    print(json.dumps({"monitor": top, "eval_spread_n2": spread,
+                      "gate_pair_seed123": gate,
+                      "ok_sisdr_gate": ok_sisdr_gate,
+                      "ok_monitor_sisdr": ok_monitor,
+                      "ok_lsd_no_regress": ok_lsd,
+                      "promote": ok_sisdr_gate and ok_monitor and ok_lsd},
+                     indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
