@@ -365,15 +365,18 @@ def bench_fullchain(pipe, jnp, secs: int = 120) -> None:
 _V5E_PEAK_FLOPS = 197e12
 
 
-def _emit_cost_mfu(cost_analysis_fn, best_dt: float, metric: str) -> None:
+def _emit_cost_mfu(cost_analysis_fn, best_dt: float, metric: str,
+                   extra_flops: float = 0.0) -> None:
     """MFU line from an XLA cost analysis (flops / wall / v5e bf16
     peak); failures emit a parseable `<metric>_failed` line instead of
-    killing the bench."""
+    killing the bench.  ``extra_flops`` adds FLOPs XLA cannot see —
+    Pallas custom calls report zero (ops/attn_pallas.FLOP_LOG carries
+    the attention kernel's true count)."""
     try:
         ca = cost_analysis_fn()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
+        flops = float(ca.get("flops", 0.0)) + float(extra_flops)
         if flops > 0:
             _emit(metric, 100.0 * flops / best_dt / _V5E_PEAK_FLOPS,
                   "pct_of_v5e_bf16_peak", 0.0)
@@ -396,9 +399,10 @@ def _time_fused(pipe, jnp, x_dev, secs: int, rounds: int = 3):
     return secs / best_dt, best_dt, red
 
 
-def _emit_mfu(red, pipe, x_dev, best_dt: float, metric: str) -> None:
+def _emit_mfu(red, pipe, x_dev, best_dt: float, metric: str,
+              extra_flops: float = 0.0) -> None:
     _emit_cost_mfu(lambda: red.lower(pipe.params, x_dev).compile()
-                   .cost_analysis(), best_dt, metric)
+                   .cost_analysis(), best_dt, metric, extra_flops)
 
 
 def bench_device_pipeline(pipe, jnp) -> None:
@@ -428,7 +432,12 @@ def bench_device_pipeline(pipe, jnp) -> None:
     x_dev = jnp.asarray((rng.standard_normal((1, in_sr * secs)) * 0.1)
                         .astype(np.float32))
 
+    from egregora_tpu.ops import attn_pallas
+    n0 = len(attn_pallas.FLOP_LOG)
     rtf, best_dt, red = _time_fused(pipe, jnp, x_dev, secs)
+    # Pallas attention FLOPs logged while _time_fused's first call
+    # traced the program (XLA cost_analysis sees zero for custom calls)
+    attn_fl = float(sum(attn_pallas.FLOP_LOG[n0:]))
 
     # measured null-dispatch floor: same sync discipline, ~zero device work
     null = jax.jit(lambda x: x.sum())
@@ -442,8 +451,9 @@ def bench_device_pipeline(pipe, jnp) -> None:
     _emit("relay_dispatch_ms", null_dt * 1e3, "ms_fixed_per_dispatch", 0.0)
 
     _emit_mfu(red, pipe, x_dev, max(best_dt - null_dt, 1e-6),
-              "flashsr_pipeline_mfu_pct")
-    _emit_mfu(red, pipe, x_dev, best_dt, "flashsr_pipeline_mfu_raw_pct")
+              "flashsr_pipeline_mfu_pct", extra_flops=attn_fl)
+    _emit_mfu(red, pipe, x_dev, best_dt, "flashsr_pipeline_mfu_raw_pct",
+              extra_flops=attn_fl)
 
     try:
         bench_istft_pipeline(pipe, jnp, x_dev, secs)
