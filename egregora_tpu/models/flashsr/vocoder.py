@@ -171,9 +171,24 @@ class SpectralVocoder(nn.Module):
                                        mode="reflect"), n_fft, hop)
             m = jnp.sqrt(rr * rr + ri * ri)
             inv = 1.0 / (m + 1e-6)
+            cos, sin = rr * inv, ri * inv
+            # harmonic phase candidates: the phase a 2nd/3rd harmonic of
+            # the content at bin k/2 (k/3) would have AT bin k is the
+            # complex square (cube) of that bin's unit phasor — handing
+            # the head multiplicative phase algebra (cos 2phi = 2c^2-1,
+            # ...) it would otherwise have to synthesize through GELUs.
+            idx2 = jnp.arange(nbins) // 2
+            idx3 = jnp.arange(nbins) // 3
+            c2 = cos * cos - sin * sin
+            s2 = 2.0 * cos * sin
+            c2h, s2h = c2[..., idx2], s2[..., idx2]
+            c3 = c2 * cos - s2 * sin
+            s3 = s2 * cos + c2 * sin
+            c3h, s3h = c3[..., idx3], s3[..., idx3]
             f = mel.shape[-2]
             feats = jnp.concatenate(
-                [rr * inv, ri * inv, jnp.log(m + 1e-5)], axis=-1)[:, :f]
+                [cos, sin, jnp.log(m + 1e-5), c2h, s2h, c3h, s3h],
+                axis=-1)[:, :f]
             feats = jnp.pad(feats, ((0, 0), (0, f - feats.shape[1]), (0, 0)))
             x = x + nn.Dense(c.hidden, dtype=c.dtype,
                              name="phase_in")(feats.astype(c.dtype))
