@@ -93,10 +93,12 @@ class FlashSRModules:
             z = jnp.zeros((1, MEL_FRAMES // 4, N_MELS // 4,
                            self.cfg.unet.in_channels), jnp.float32)
             mel = jnp.zeros((1, MEL_FRAMES, N_MELS), jnp.float32)
+            vkw = ({"ref": jnp.zeros((1, MEL_FRAMES * 480), jnp.float32)}
+                   if getattr(self.cfg.vocoder, "phase_cond", False) else {})
             return {
                 "vae": self.vae.init(k1, mel_img),
                 "student_ldm": self.unet.init(k2, z, jnp.zeros((1,))),
-                "sr_vocoder": self.vocoder.init(k3, mel),
+                "sr_vocoder": self.vocoder.init(k3, mel, **vkw),
             }
 
         from ...utils.weights import fast_init_like

@@ -228,3 +228,22 @@ def test_pipeline_runs_with_istft_vocoder():
     y = np.asarray(pipe.chunk_forward(pipe.params, x[None], lowpass_input=False))
     assert y.shape == (1, CHUNK_SAMPLES)
     assert np.isfinite(y).all()
+
+
+def test_pipeline_runs_with_phase_cond_istft_vocoder():
+    """phase_cond=True threads the input chunk into the vocoder through
+    chunk_forward (init_params, distill and the fused paths share it)."""
+    import dataclasses as dc
+
+    from egregora_tpu.models.flashsr.distill import distilled_config
+    from egregora_tpu.models.flashsr.pipeline import FlashSRModules
+    from egregora_tpu.models.flashsr.vocoder import VocoderConfig
+
+    cfg = dc.replace(distilled_config(),
+                     vocoder=VocoderConfig(kind="istft", hidden=32, depth=1,
+                                           phase_cond=True))
+    pipe = FlashSRPipeline(cfg, params=FlashSRModules(cfg).init_params(0))
+    x = jax.random.normal(jax.random.PRNGKey(3), (CHUNK_SAMPLES,)) * 0.1
+    y = np.asarray(pipe.chunk_forward(pipe.params, x[None], lowpass_input=False))
+    assert y.shape == (1, CHUNK_SAMPLES)
+    assert np.isfinite(y).all()
