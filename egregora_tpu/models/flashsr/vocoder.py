@@ -186,10 +186,13 @@ class SpectralVocoder(nn.Module):
             s3 = s2 * cos + c2 * sin
             c3h, s3h = c3[..., idx3], s3[..., idx3]
             f = mel.shape[-2]
+            def _cut(a):
+                a = a[:, :f]
+                return jnp.pad(a, ((0, 0), (0, f - a.shape[1]), (0, 0)))
+            cos, sin, logm_in = _cut(cos), _cut(sin), _cut(jnp.log(m + 1e-5))
+            c2h, s2h, c3h, s3h = _cut(c2h), _cut(s2h), _cut(c3h), _cut(s3h)
             feats = jnp.concatenate(
-                [cos, sin, jnp.log(m + 1e-5), c2h, s2h, c3h, s3h],
-                axis=-1)[:, :f]
-            feats = jnp.pad(feats, ((0, 0), (0, f - feats.shape[1]), (0, 0)))
+                [cos, sin, logm_in, c2h, s2h, c3h, s3h], axis=-1)
             x = x + nn.Dense(c.hidden, dtype=c.dtype,
                              name="phase_in")(feats.astype(c.dtype))
         for _ in range(c.depth):
@@ -198,6 +201,27 @@ class SpectralVocoder(nn.Module):
         logmag = nn.Dense(nbins, dtype=c.dtype)(x).astype(jnp.float32)
         ph = nn.Dense(2 * nbins, dtype=c.dtype)(x).astype(jnp.float32)
         pr, pi = ph[..., :nbins], ph[..., nbins:]
+        if c.phase_cond:
+            # identity-capable head: the hidden-width backbone is an
+            # information bottleneck (961 bins of phase cannot round-trip
+            # 256 channels — measured corr 0.43 even on clean HR mel), so
+            # the phase output is a per-bin COMPLEX-GATED combination of
+            # the input phasor and its harmonic candidates plus the free
+            # term, and the log-magnitude gets a gated input residual:
+            # exact band passthrough is representable (gate_in=(A,0),
+            # gm=1), which is what SI-SDR-vs-passthrough demands.
+            g = nn.Dense(6 * nbins, dtype=c.dtype,
+                         kernel_init=nn.initializers.zeros,
+                         name="phase_gates")(x).astype(jnp.float32)
+            g1r, g1i, g2r, g2i, g3r, g3i = jnp.split(g, 6, axis=-1)
+            pr = (pr + g1r * cos - g1i * sin + g2r * c2h - g2i * s2h
+                  + g3r * c3h - g3i * s3h)
+            pi = (pi + g1r * sin + g1i * cos + g2r * s2h + g2i * c2h
+                  + g3r * s3h + g3i * c3h)
+            gm = nn.sigmoid(nn.Dense(nbins, dtype=c.dtype,
+                                     kernel_init=nn.initializers.zeros,
+                                     name="mag_gate")(x).astype(jnp.float32))
+            logmag = logmag + gm * logm_in
         inv = jax.lax.rsqrt(pr * pr + pi * pi + 1e-6)
         mag = jnp.exp(jnp.clip(logmag, -30.0, 9.0))
         from ...ops.stft import istft_dense
