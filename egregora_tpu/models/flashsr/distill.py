@@ -255,6 +255,17 @@ def distill_vocoder(steps: int = 20000, batch: int = 8, frames: int = 128,
 
         from ...utils.weights import fast_init_like
         voc_params = fast_init_like(jax.eval_shape(build), seed)
+        if phase_cond:
+            # fast_init_like is shape-based and ignores the module's
+            # custom zero-kernel / copy-bias initializers — impose the
+            # POSITIVE-copy start here (see vocoder._copy_bias): gates
+            # zeroed, g_in real part = 1, mag gate kernel zeroed.
+            p = voc_params["params"]
+            for name in ("phase_gates", "mag_gate"):
+                p[name]["kernel"] = jnp.zeros_like(p[name]["kernel"])
+            b = jnp.zeros_like(p["phase_gates"]["bias"])
+            nb = b.shape[0] // 6
+            p["phase_gates"]["bias"] = b.at[:nb].set(1.0)
 
     length = 480 * frames
     # one-time upload: the loaded trees are host numpy; as bare jit

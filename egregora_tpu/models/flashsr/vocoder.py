@@ -210,8 +210,17 @@ class SpectralVocoder(nn.Module):
             # term, and the log-magnitude gets a gated input residual:
             # exact band passthrough is representable (gate_in=(A,0),
             # gm=1), which is what SI-SDR-vs-passthrough demands.
+            # bias init (+1, 0, 0, ...) puts g_in at the POSITIVE copy
+            # from step 0: every other loss term is polarity-invariant
+            # and a zero init let training settle at the inverted copy
+            # (measured corr -0.96), which the downstream crossover then
+            # destructively blends with the (+) input low band.
+            def _copy_bias(key, shape, dtype=jnp.float32):
+                b = jnp.zeros(shape, dtype)
+                return b.at[:nbins].set(1.0)
             g = nn.Dense(6 * nbins, dtype=c.dtype,
                          kernel_init=nn.initializers.zeros,
+                         bias_init=_copy_bias,
                          name="phase_gates")(x).astype(jnp.float32)
             g1r, g1i, g2r, g2i, g3r, g3i = jnp.split(g, 6, axis=-1)
             pr = (pr + g1r * cos - g1i * sin + g2r * c2h - g2i * s2h
