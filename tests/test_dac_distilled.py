@@ -49,12 +49,13 @@ def test_shipped_dac_roundtrip_snr(model_type):
             for k in GATE_KEYS]
     mean, worst = float(np.mean(snrs)), float(min(snrs))
     # random-init ~-19 dB, spectral-average degenerate ~-1 dB, round-2
-    # weights +2.5-3.5 mean, round-3 +5.1..+6.0 mean / +2.0..+2.9 worst.
-    # Round-4 (stft-w 0.08 loss-mix fix + widened geometry) ships
-    # mean +7.45..+8.71 / worst +4.28..+5.10 — gates raised to hold the
-    # new floor with retrain-variance margin (VERDICT r3 #6)
-    assert mean > 7.0, f"{model_type} mean SNR {mean:.2f} dB < 7.0 dB gate"
-    assert worst > 3.8, f"{model_type} worst-draw SNR {worst:.2f} dB < 3.8 dB"
+    # weights +2.5-3.5 mean, round-3 +5.1..+6.0 mean / +2.0..+2.9 worst,
+    # round-4 +7.45..+8.71 mean.  Round-5 (hop-32 retrains for 24k/16k +
+    # guarded 44k finetunes) ships mean +8.01 (44k) / +11.23 (24k) /
+    # +13.12 (16k), worst +4.41/+8.18/+10.66 — gates at the r3 target
+    # bar (VERDICT r4 #2: mean > 8 / worst > 4 on ALL rates)
+    assert mean > 8.0, f"{model_type} mean SNR {mean:.2f} dB < 8.0 dB gate"
+    assert worst > 4.0, f"{model_type} worst-draw SNR {worst:.2f} dB < 4.0 dB"
 
 
 @pytest.mark.parametrize("model_type", MODEL_TYPES)
@@ -73,10 +74,11 @@ def test_shipped_dac_roundtrip_lsd(model_type):
             lsd_sisdr_report(jnp.asarray(wav[i]),
                              jnp.asarray(rec[i]))["lsd_mean_db"])
             for i in range(wav.shape[0])]))
-    # unlike SNR, roundtrip LSD is stable across draws; round-4 shipped
-    # codecs measure 7.7-8.4 dB on the gate draws
+    # unlike SNR, roundtrip LSD is stable across draws; round-5 shipped
+    # codecs measure 7.49 (44k) / 6.39 (24k) / 6.20 (16k) on the gate
+    # draws — gate at the r3 target bar (VERDICT r4 #2: LSD <= 7.5)
     lsd = float(np.mean(lsds))
-    assert lsd < 8.8, f"{model_type} mean roundtrip LSD {lsd:.2f} dB >= 8.8 dB"
+    assert lsd < 7.5, f"{model_type} mean roundtrip LSD {lsd:.2f} dB >= 7.5 dB"
 
 
 def test_build_dac_uses_shipped_weights(tmp_path, monkeypatch):
