@@ -61,7 +61,8 @@ def distilled_config() -> FlashSRConfig:
 _N_HARMONICS = 96
 
 
-def _synth_one(key: jax.Array, length: int, sr: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _synth_one(key: jax.Array, length: int, sr: int,
+               coherent_p: float = 0.0) -> tuple[jnp.ndarray, jnp.ndarray]:
     """One (lr, hr) pair, fully on device.
 
     HR: additive harmonic tone (random f0, spectral rolloff, formant
@@ -69,7 +70,20 @@ def _synth_one(key: jax.Array, length: int, sr: int) -> tuple[jnp.ndarray, jnp.n
     same signal through a random-cutoff (5–11.5 kHz) spectral lowpass —
     computed in the frequency domain so the cutoff can be a traced
     value under jit (a windowed-sinc FIR would need static taps).
-    """
+
+    ``coherent_p``: probability that the draw's harmonics are
+    phase-COHERENT (``ph0_n = n*c``, a pure waveform shift of an
+    aligned pulse-like stack — how every natural driven source behaves:
+    glottal pulses, bowed/plucked strings, brass).  The default 0.0
+    keeps the original i.i.d. per-harmonic offsets (bit-identical
+    draws), where the phase of a high harmonic is information-
+    theoretically unrecoverable from the observed low band —
+    tools/sisdr_diag.py shows even TRUE-magnitude HF with random phase
+    loses SI-SDR through the crossover merge, so an SR model can only
+    tie passthrough on such data, never beat it.  FlashSR's eval-v2
+    monitor draws a 50/50 mix (coherent_p=0.5) so waveform-fidelity
+    headroom above passthrough exists exactly where it does on real
+    audio."""
     ks = jax.random.split(key, 14)
     t = jnp.arange(length, dtype=jnp.float32) / sr
 
@@ -96,6 +110,12 @@ def _synth_one(key: jax.Array, length: int, sr: int) -> tuple[jnp.ndarray, jnp.n
     base_phase = 2 * jnp.pi * f0 * (t - vd * jnp.cos(2 * jnp.pi * vr * t)
                                     / (2 * jnp.pi * vr))
     ph0 = jax.random.uniform(ks[7], (_N_HARMONICS,), maxval=2 * jnp.pi)
+    if coherent_p > 0.0:
+        kc = jax.random.fold_in(key, 98)
+        coh = jax.random.bernoulli(jax.random.fold_in(kc, 0), coherent_p)
+        c = jax.random.uniform(jax.random.fold_in(kc, 1), (),
+                               maxval=2 * jnp.pi)
+        ph0 = jnp.where(coh, n * c, ph0)
     harm = jnp.sum(amps[:, None] * jnp.sin(n[:, None] * base_phase[None, :]
                                            + ph0[:, None]), axis=0)
     harm = harm / (jnp.sqrt(jnp.mean(jnp.square(harm))) + 1e-6)
@@ -128,10 +148,11 @@ def _synth_one(key: jax.Array, length: int, sr: int) -> tuple[jnp.ndarray, jnp.n
 
 
 def synth_pair_batch(key: jax.Array, batch: int, length: int,
-                     sr: int = SR) -> tuple[jnp.ndarray, jnp.ndarray]:
+                     sr: int = SR,
+                     coherent_p: float = 0.0) -> tuple[jnp.ndarray, jnp.ndarray]:
     """``[B, length]`` (lr, hr) pairs; vmapped device-side generator."""
     keys = jax.random.split(key, batch)
-    return jax.vmap(lambda k: _synth_one(k, length, sr))(keys)
+    return jax.vmap(lambda k: _synth_one(k, length, sr, coherent_p))(keys)
 
 
 # ---------------------------------------------------------------------------
@@ -285,7 +306,8 @@ def distill_vocoder(steps: int = 20000, batch: int = 8, frames: int = 128,
         def one(carry, k):
             vp, os_ = carry
             kd, kn = jax.random.split(k)
-            lr_w, hr_w = synth_pair_batch(kd, batch, length)
+            lr_w, hr_w = synth_pair_batch(kd, batch, length,
+                                          coherent_p=EVAL_COHERENT_P)
             loss, grads = jax.value_and_grad(
                 lambda p: _vocoder_loss(modules, frz, p, lr_w, hr_w, kn,
                                         sisdr_w=sisdr_w))(vp)
@@ -600,8 +622,15 @@ def resolve_flashsr(seed: int = 0):
 
 _EVAL_CACHE: dict = {}
 
+# eval-v2: the monitor draws a 50/50 coherent/incoherent harmonic-phase
+# mix (see _synth_one).  On the original all-incoherent draws (v1) HF
+# phase is unrecoverable and SI-SDR > passthrough is unachievable by
+# construction — tools/sisdr_diag.py's truemag-randphase ceiling.
+EVAL_COHERENT_P = 0.5
 
-def evaluate(params, cfg: FlashSRConfig, seed: int = 7, n: int = 4) -> dict:
+
+def evaluate(params, cfg: FlashSRConfig, seed: int = 7, n: int = 4,
+             coherent_p: float = EVAL_COHERENT_P) -> dict:
     """LSD / SI-SDR of pipeline output vs HR truth on fresh synthetic
     pairs at the full 5.12 s chunk size, against the LR passthrough
     baseline (the reference node's own eval contract).
@@ -614,14 +643,15 @@ def evaluate(params, cfg: FlashSRConfig, seed: int = 7, n: int = 4) -> dict:
     from ...eval.metrics import lsd_sisdr_report
     from .pipeline import CHUNK_SAMPLES, FlashSRPipeline
 
-    cache_key = (_cfg_to_json(cfg), n)
+    cache_key = (_cfg_to_json(cfg), n, coherent_p)
     fn = _EVAL_CACHE.get(cache_key)
     if fn is None:
         pipe = FlashSRPipeline(cfg, params=params)
 
         @jax.jit
         def fn(params, key):
-            lr_w, hr_w = synth_pair_batch(key, n, CHUNK_SAMPLES)
+            lr_w, hr_w = synth_pair_batch(key, n, CHUNK_SAMPLES,
+                                          coherent_p=coherent_p)
             out = pipe.chunk_forward(params, lr_w, lowpass_input=False)
             rep = jax.vmap(lambda hr, est: lsd_sisdr_report(hr, est))
             r_pt, r_md = rep(hr_w, lr_w), rep(hr_w, out)

@@ -75,7 +75,10 @@ def flash_rows(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     b, n, d = q.shape
     FLOP_LOG.append(4 * b * n * n * d)
     if n >= 8192:
-        block_q = min(block_q, 512)
+        # the f32 [block_q, N] score row is a scoped-VMEM stack
+        # allocation capped at 16 MB by Mosaic: 512x8192x4 = 17 MB OOMs
+        # (measured on v5e at the VAE mid-block shape); 256 fits
+        block_q = min(block_q, 256)
     bq = min(block_q, n)
     nq = n
     if n % bq:

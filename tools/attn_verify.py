@@ -54,16 +54,19 @@ def main():
                     os.environ.pop("EGREGORA_ATTN_PATH", None)
             return jax.jit(f)
 
-        unroll, chunked = eng("unroll"), eng("chunked")
-        ou, oc = unroll(q, k, v), chunked(q, k, v)
-        ou.block_until_ready(); oc.block_until_ready()
+        paths = sys.argv[1:] or ["unroll", "chunked"]
+        engines = [(p, eng(p)) for p in paths]
+        outs = [f(q, k, v) for _, f in engines]
+        for o in outs:
+            o.block_until_ready()
         # complex/host quirks: move via f32
-        delta = float(jnp.max(jnp.abs(ou.astype(jnp.float32)
-                                      - oc.astype(jnp.float32))))
-        scale = float(jnp.max(jnp.abs(oc.astype(jnp.float32))))
+        ref = outs[0].astype(jnp.float32)
+        delta = max(float(jnp.max(jnp.abs(ref - o.astype(jnp.float32))))
+                    for o in outs[1:])
+        scale = float(jnp.max(jnp.abs(ref)))
 
         walls = {}
-        for tag, fn in (("unroll", unroll), ("chunked", chunked)):
+        for tag, fn in engines:
             _sync(fn(q, k, v))
             best = float("inf")
             for _ in range(5):
@@ -72,8 +75,8 @@ def main():
                 best = min(best, time.time() - t0)
             walls[tag] = best * 1e3
         print(f"{name:9s} max|d| {delta:.4f} (max|o| {scale:.2f})  "
-              f"unroll {walls['unroll']:7.1f} ms  "
-              f"chunked {walls['chunked']:7.1f} ms", flush=True)
+              + "  ".join(f"{t} {w:7.1f} ms" for t, w in walls.items()),
+              flush=True)
 
 
 if __name__ == "__main__":
