@@ -110,14 +110,50 @@ def _synth_one(key: jax.Array, length: int, sr: int,
     base_phase = 2 * jnp.pi * f0 * (t - vd * jnp.cos(2 * jnp.pi * vr * t)
                                     / (2 * jnp.pi * vr))
     ph0 = jax.random.uniform(ks[7], (_N_HARMONICS,), maxval=2 * jnp.pi)
+    coh = None
     if coherent_p > 0.0:
+        # coherent draws model BRIGHT driven sources (trumpet, bowed
+        # string, voice): phase-aligned pulse-like stacks whose
+        # harmonics run to Nyquist with a shallow rolloff and little
+        # noise.  The legacy 96-harmonic bank tops out at 96*f0
+        # (6.7 kHz at f0=70!), leaving the SR band pure tilted noise —
+        # phase-unrecoverable by construction, which is exactly what
+        # eval-v2 exists to fix (tools/sisdr_diag.py ceiling).
         kc = jax.random.fold_in(key, 98)
         coh = jax.random.bernoulli(jax.random.fold_in(kc, 0), coherent_p)
         c = jax.random.uniform(jax.random.fold_in(kc, 1), (),
                                maxval=2 * jnp.pi)
-        ph0 = jnp.where(coh, n * c, ph0)
-    harm = jnp.sum(amps[:, None] * jnp.sin(n[:, None] * base_phase[None, :]
-                                           + ph0[:, None]), axis=0)
+        # coherent class: f0 >= 150 Hz so harmonics resolve in the
+        # heads' 25 Hz analysis bins (unresolved stacks mix 3+
+        # harmonics per mainlobe and scramble per-bin phase — measured
+        # exciter alignment 0.14 at f0~70 vs 0.65 resolved)
+        f0_c = jnp.exp(jax.random.uniform(jax.random.fold_in(kc, 4), (),
+                                          minval=jnp.log(150.0),
+                                          maxval=jnp.log(900.0)))
+        f0 = jnp.where(coh, f0_c, f0)
+        base_phase = 2 * jnp.pi * f0 * (t - vd * jnp.cos(2 * jnp.pi * vr * t)
+                                        / (2 * jnp.pi * vr))
+        n_full = 352                       # 352*150 Hz > Nyquist
+        nf = jnp.arange(1, n_full + 1, dtype=jnp.float32)
+        roll_c = jax.random.uniform(jax.random.fold_in(kc, 2), (),
+                                    minval=0.4, maxval=1.0)
+        amps_f = nf ** (-jnp.where(coh, roll_c, rolloff))
+        formant_f = 1.0 + jnp.sum(
+            gn[:, None] * jnp.exp(-0.5 * (jnp.log(f0 * nf[None, :]
+                                                  / cf[:, None])
+                                          / bw[:, None]) ** 2), axis=0)
+        amps_f = amps_f * formant_f * (f0 * nf < 0.98 * sr / 2)
+        amps_f = amps_f * jnp.where(coh, 1.0, nf <= _N_HARMONICS)
+        ph0_f = jax.random.uniform(jax.random.fold_in(kc, 3), (n_full,),
+                                   maxval=2 * jnp.pi)
+        ph0_f = ph0_f.at[:_N_HARMONICS].set(ph0)
+        ph0_f = jnp.where(coh, nf * c, ph0_f)
+        harm = jnp.sum(amps_f[:, None]
+                       * jnp.sin(nf[:, None] * base_phase[None, :]
+                                 + ph0_f[:, None]), axis=0)
+    else:
+        harm = jnp.sum(amps[:, None] * jnp.sin(n[:, None] * base_phase[None, :]
+                                               + ph0[:, None]), axis=0)
     harm = harm / (jnp.sqrt(jnp.mean(jnp.square(harm))) + 1e-6)
 
     # AM: slow beating + sigmoid note gating
@@ -132,6 +168,11 @@ def _synth_one(key: jax.Array, length: int, sr: int,
     tilt = jax.random.uniform(ks[11], (), minval=0.0, maxval=1.0)
     noise = (1 - tilt) * white + tilt * jnp.diff(white, prepend=0.0)
     nr = jax.random.uniform(ks[12], (), minval=0.02, maxval=0.30)
+    if coh is not None:
+        # bright coherent sources carry little broadband noise; the
+        # stochastic HF class stays fully represented by the
+        # incoherent half of the mix
+        nr = jnp.where(coh, 0.3 * nr, nr)
     x = harm + nr * noise / (jnp.sqrt(jnp.mean(jnp.square(noise))) + 1e-6)
 
     peak = jax.random.uniform(ks[13], (), minval=0.25, maxval=0.8)
@@ -235,7 +276,8 @@ def distill_vocoder(steps: int = 20000, batch: int = 8, frames: int = 128,
                     scan_size: int = 1, ckpt_every: int = 0,
                     hidden: int = 256, depth: int = 6,
                     resume: bool = False, sisdr_w: float = 0.0,
-                    phase_cond: bool = False) -> dict:
+                    phase_cond: bool = False,
+                    exciter: bool = False) -> dict:
     """Train an iSTFT-head SpectralVocoder against the shipped frozen
     VAE/UNet and write a complete trio npz (frozen parts copied in), so
     the result is directly loadable by ``load_pretrained_with_cfg`` /
@@ -264,7 +306,7 @@ def distill_vocoder(steps: int = 20000, batch: int = 8, frames: int = 128,
         print(f"[distill-voc] resuming from {out_path}", flush=True)
     else:
         voc_cfg = VocoderConfig(kind="istft", hidden=hidden, depth=depth,
-                                phase_cond=phase_cond)
+                                phase_cond=phase_cond, exciter=exciter)
         cfg = dc.replace(cfg0, vocoder=voc_cfg)
         modules = FlashSRModules(cfg)
 
@@ -702,6 +744,9 @@ if __name__ == "__main__":
     ap.add_argument("--phase-cond", action="store_true",
                     help="condition the istft head on the input chunk's "
                          "complex STFT (--vocoder-only)")
+    ap.add_argument("--exciter", action="store_true",
+                    help="add x^2/x^3 sum-frequency phase candidates "
+                         "(--vocoder-only, needs --phase-cond)")
     ap.add_argument("--out", type=str, default="",
                     help="candidate output path (--vocoder-only; default "
                          "overwrites the shipped pretrained_istft.npz)")
@@ -714,6 +759,7 @@ if __name__ == "__main__":
                         seed=a.seed, scan_size=a.scan, ckpt_every=a.ckpt_every,
                         hidden=a.hidden, depth=a.depth, resume=a.resume,
                         sisdr_w=a.sisdr_w, phase_cond=a.phase_cond,
+                        exciter=a.exciter,
                         **({"out_path": Path(a.out)} if a.out else {}))
     else:
         distill(steps=a.steps, batch=a.batch, frames=a.frames, lr=a.lr,

@@ -47,6 +47,16 @@ class VocoderConfig:
     # passthrough; with the input's low-band phase in view, harmonic
     # phase extrapolation becomes learnable.
     phase_cond: bool = False
+    # exciter phase candidates (round 5, needs phase_cond): the u^2/u^3
+    # per-bin candidates only cover harmonics whose half/third falls in
+    # the observed band — odd-prime harmonics (7th, 11th, 13th ...) have
+    # none, and the phase of u_a*conj(u_b) cross-products is not
+    # representable from per-bin features.  The time-domain squares
+    # x^2 / x^3 of the input generate ALL sum-frequency products
+    # f_i + f_j (+ f_k) phase-locked to the source — the classic
+    # harmonic-exciter trick — so their STFT phasors give every
+    # coherent-stack harmonic a candidate, tracking vibrato/AM for free.
+    exciter: bool = False
 
 
 class ResBlock1D(nn.Module):
@@ -191,8 +201,27 @@ class SpectralVocoder(nn.Module):
                 return jnp.pad(a, ((0, 0), (0, f - a.shape[1]), (0, 0)))
             cos, sin, logm_in = _cut(cos), _cut(sin), _cut(jnp.log(m + 1e-5))
             c2h, s2h, c3h, s3h = _cut(c2h), _cut(s2h), _cut(c3h), _cut(s3h)
-            feats = jnp.concatenate(
-                [cos, sin, logm_in, c2h, s2h, c3h, s3h], axis=-1)
+            feats = [cos, sin, logm_in, c2h, s2h, c3h, s3h]
+            if c.exciter:
+                # sum-frequency exciter candidates (see VocoderConfig):
+                # unit phasors of stft(x^2) and stft(x^3) on the same
+                # synthesis grid
+                xn = ref.astype(jnp.float32)
+                xn = xn * jax.lax.rsqrt(
+                    jnp.mean(xn * xn, axis=-1, keepdims=True) + 1e-12)
+                e2 = xn * xn
+                e3 = e2 * xn
+                exc = []
+                for e in (e2, e3):
+                    er, ei = stft_conv(jnp.pad(e, pad, mode="reflect"),
+                                       n_fft, hop)
+                    em = jnp.sqrt(er * er + ei * ei)
+                    einv = 1.0 / (em + 1e-6)
+                    exc += [_cut(er * einv), _cut(ei * einv),
+                            _cut(jnp.log(em + 1e-5))]
+                ce2, se2, lme2, ce3, se3, lme3 = exc
+                feats += exc
+            feats = jnp.concatenate(feats, axis=-1)
             x = x + nn.Dense(c.hidden, dtype=c.dtype,
                              name="phase_in")(feats.astype(c.dtype))
         for _ in range(c.depth):
@@ -218,15 +247,21 @@ class SpectralVocoder(nn.Module):
             def _copy_bias(key, shape, dtype=jnp.float32):
                 b = jnp.zeros(shape, dtype)
                 return b.at[:nbins].set(1.0)
-            g = nn.Dense(6 * nbins, dtype=c.dtype,
+            n_g = 10 if c.exciter else 6
+            g = nn.Dense(n_g * nbins, dtype=c.dtype,
                          kernel_init=nn.initializers.zeros,
                          bias_init=_copy_bias,
                          name="phase_gates")(x).astype(jnp.float32)
-            g1r, g1i, g2r, g2i, g3r, g3i = jnp.split(g, 6, axis=-1)
+            gs = jnp.split(g, n_g, axis=-1)
+            g1r, g1i, g2r, g2i, g3r, g3i = gs[:6]
             pr = (pr + g1r * cos - g1i * sin + g2r * c2h - g2i * s2h
                   + g3r * c3h - g3i * s3h)
             pi = (pi + g1r * sin + g1i * cos + g2r * s2h + g2i * c2h
                   + g3r * s3h + g3i * c3h)
+            if c.exciter:
+                g4r, g4i, g5r, g5i = gs[6:]
+                pr = pr + g4r * ce2 - g4i * se2 + g5r * ce3 - g5i * se3
+                pi = pi + g4r * se2 + g4i * ce2 + g5r * se3 + g5i * ce3
             gm = nn.sigmoid(nn.Dense(nbins, dtype=c.dtype,
                                      kernel_init=nn.initializers.zeros,
                                      name="mag_gate")(x).astype(jnp.float32))

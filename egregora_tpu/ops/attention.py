@@ -110,9 +110,11 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     b, h, n, d = q.shape
     path = os.environ.get("EGREGORA_ATTN_PATH", "auto")
     if path == "auto":
-        # pallas becomes the TPU default once attn_kernel_lab + unet_lab
-        # confirm the win in-context (flip pending measurement)
-        path = "unroll" if jax.default_backend() == "tpu" else "chunked"
+        # pallas is the TPU default: whole-row VMEM-resident kernel,
+        # confirmed in-context (unet_lab: -14.4 ms on the LDM UNet;
+        # vae-mid N=8192: 59.8 vs 69.1 ms unrolled, max |delta| one
+        # bf16 ulp).  EGREGORA_ATTN_PATH=unroll restores the old engine.
+        path = "pallas" if jax.default_backend() == "tpu" else "chunked"
     if path == "pallas":
         from .attn_pallas import flash_rows
         fn = flash_rows

@@ -65,8 +65,8 @@ def flash_rows(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     ``block_q`` bounds the VMEM score row (block_q x N f32 plus its exp
     and the bf16 weights: ~2.5x block_q*N*4 bytes); 1024 is ~20 MB at
-    N=2048 and is clamped to 512 at N=8192 (VAE mid-block) to stay
-    under half of VMEM with the pipeline's k/v buffers.
+    N=2048 and is clamped to 128 at N=8192 (VAE mid-block) to fit the
+    16 MB scoped-VMEM stack limit (see the clamp below).
 
     Unjitted on purpose: the body is trace-time-cheap, callers are
     jitted programs, and the FLOP_LOG append must run on every outer
@@ -75,10 +75,12 @@ def flash_rows(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     b, n, d = q.shape
     FLOP_LOG.append(4 * b * n * n * d)
     if n >= 8192:
-        # the f32 [block_q, N] score row is a scoped-VMEM stack
-        # allocation capped at 16 MB by Mosaic: 512x8192x4 = 17 MB OOMs
-        # (measured on v5e at the VAE mid-block shape); 256 fits
-        block_q = min(block_q, 256)
+        # the f32 [block_q, N] score row + its exp + Mosaic's
+        # double-buffered k/v blocks exceed the DEFAULT 16 MB
+        # scoped-VMEM budget at this N (measured OOM on v5e even at
+        # block_q=128) — vmem_limit_bytes below raises the budget, and
+        # 512 rows (~17 MB score + 17 MB exp + 2x8.4 MB k/v) fit in 96
+        block_q = min(block_q, 512)
     bq = min(block_q, n)
     nq = n
     if n % bq:
@@ -97,6 +99,8 @@ def flash_rows(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, nq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(q, k, v)
     return out[:, :n] if nq != n else out

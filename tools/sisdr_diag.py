@@ -76,9 +76,16 @@ def main():
                         n_fft, hop)
         return y[..., pad: pad + t]
 
+    cp = 0.0
+    for a in list(sys.argv[1:]):
+        if a.startswith("--coherent="):
+            cp = float(a.split("=")[1])
+            sys.argv.remove(a)
+    print(f"coherent_p={cp}", flush=True)
+
     @jax.jit
     def run(params, key):
-        lr, hr = synth_pair_batch(key, 4, CHUNK_SAMPLES)
+        lr, hr = synth_pair_batch(key, 4, CHUNK_SAMPLES, coherent_p=cp)
         wav = pipe.chunk_forward(params, lr, lowpass_input=False)
         x, mel_hr = captured["x"], captured["mel"]
         rep = jax.vmap(lambda a, b: lsd_sisdr_report(a, b))
