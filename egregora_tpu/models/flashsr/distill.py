@@ -327,7 +327,11 @@ def distill_vocoder(steps: int = 20000, batch: int = 8, frames: int = 128,
             for name in ("phase_gates", "mag_gate"):
                 p[name]["kernel"] = jnp.zeros_like(p[name]["kernel"])
             b = jnp.zeros_like(p["phase_gates"]["bias"])
-            nb = b.shape[0] // 6
+            # the head emits 6 gate groups (input/u^2/u^3 complex pairs)
+            # +4 with exciter (x^2/x^3 phasors); only g1r (the input
+            # copy) starts at 1 — a //6 here under exciter bled the 1s
+            # into g1i/g2r and rotated the low bins' start phase
+            nb = b.shape[0] // (10 if exciter else 6)
             p["phase_gates"]["bias"] = b.at[:nb].set(1.0)
 
     length = 480 * frames

@@ -64,3 +64,40 @@ def test_mha_pallas_path_env(monkeypatch):
     monkeypatch.setenv("EGREGORA_ATTN_PATH", "unroll")
     alt = np.asarray(attention.mha(q, k, v))
     assert np.abs(base - alt).max() < 1e-5
+
+
+# ---------------- online-softmax k-blocked variant ----------------
+
+from egregora_tpu.ops.attn_flash import flash_online
+
+
+@pytest.mark.parametrize("b,n,d,bq,bk", [
+    (16, 512, 32, 256, 256),   # UNet ds=2 family, 2x2 blocks
+    (8, 512, 64, 512, 128),    # UNet ds=4 family, 4 k-blocks
+    (2, 1024, 256, 256, 512),  # VAE mid family, multi q + multi k
+])
+def test_flash_online_matches_unrolled(b, n, d, bq, bk):
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.standard_normal((b, n, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, n, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, n, d)), jnp.bfloat16)
+    ref = np.asarray(unrolled_attention(q, k, v)).astype(np.float32)
+    got = np.asarray(flash_online(q, k, v, block_q=bq, block_k=bk,
+                                  interpret=True)).astype(np.float32)
+    assert got.shape == ref.shape
+    err = np.abs(got - ref).max()
+    assert err <= 0.05, err
+
+
+def test_flash_online_ragged_q():
+    """N not a multiple of block_q: pad rows attend real keys and are
+    sliced away."""
+    rng = np.random.default_rng(5)
+    b, n, d = 2, 384, 64
+    q = jnp.asarray(rng.standard_normal((b, n, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, n, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, n, d)), jnp.bfloat16)
+    ref = np.asarray(unrolled_attention(q, k, v)).astype(np.float32)
+    got = np.asarray(flash_online(q, k, v, block_q=256, block_k=128,
+                                  interpret=True)).astype(np.float32)
+    assert np.abs(got - ref).max() <= 0.05
