@@ -329,7 +329,22 @@ def apply_fused(variables: dict, mel: jnp.ndarray,
         h = nn_.ConvTranspose(ch, (k,), strides=(f,), dtype=c.dtype).apply(
             {"params": p[f"ConvTranspose_{i}"]}, h)
         path = os.environ.get("EGREGORA_MRF_PATH", "pallas")
-        if ch <= 64 and path == "packed" and h.shape[0] % 2 == 0:
+        if path == "rows":
+            # NWC fused-chain kernel (ops/mrf_rows.py): each branch's
+            # whole leaky->conv->leaky->conv residual chain runs in
+            # VMEM on halo-framed time tiles — one HBM read + write
+            # per branch instead of per conv
+            from ...ops.mrf_rows import mrf_rows
+            tile = next((tt for tt in (4096, 2048, 1024, 512, 256, 128)
+                         if h.shape[1] % tt == 0), None)
+            if tile is None:
+                h = MRF(ch, c.resblock_kernels, c.resblock_dilations,
+                        c.dtype).apply({"params": p[f"MRF_{i}"]}, h)
+            else:
+                h = mrf_rows(h.astype(c.dtype), p[f"MRF_{i}"],
+                             c.resblock_kernels, c.resblock_dilations,
+                             tile=tile, interpret=interpret)
+        elif ch <= 64 and path == "packed" and h.shape[0] % 2 == 0:
             # batch-packed grouped convs: [B, T, 64] pads 2x into the
             # 128 lanes; two items folded into the channel axis make
             # the stage exactly lane-wide (ops/mrf_packed.py).  The

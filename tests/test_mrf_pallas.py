@@ -152,3 +152,53 @@ def test_mrf_packed_matches_module(monkeypatch):
     monkeypatch.setenv("EGREGORA_MRF_PATH", "packed")
     cfg = _cfg(jnp.float32)
     _check_fused(cfg, jnp.float32, 2e-4)
+
+
+# ---------------- NWC fused-chain engine (ops/mrf_rows.py) ----------------
+
+def test_mrf_rows_matches_flax():
+    """Halo-framed fused-chain kernel == flax MRF (bf16 tolerance),
+    including the per-conv zero-pad boundary semantics at tile 0/S-1."""
+    import numpy as np
+
+    from egregora_tpu.models.flashsr.vocoder import MRF
+    from egregora_tpu.ops.mrf_rows import mrf_rows
+
+    rng = np.random.default_rng(0)
+    kernels, dils = (3, 7, 11), ((1, 3, 5),) * 3
+    for b, t, c, tile in [(2, 512, 64, 256), (1, 768, 128, 256)]:
+        x = jnp.asarray(rng.standard_normal((b, t, c)) * 0.3, jnp.bfloat16)
+        m = MRF(c, kernels, dils, jnp.bfloat16)
+        p = m.init(jax.random.PRNGKey(0), x)
+        ref = np.asarray(m.apply(p, x), np.float32)
+        got = np.asarray(mrf_rows(x, p["params"], kernels, dils,
+                                  tile=tile, interpret=True), np.float32)
+        assert np.abs(ref - got).max() <= 0.05, (b, t, c)
+
+
+def test_apply_fused_rows_engine():
+    """EGREGORA_MRF_PATH=rows end-to-end through apply_fused."""
+    import os
+
+    import numpy as np
+
+    from egregora_tpu.models.flashsr.vocoder import (SRVocoder,
+                                                     VocoderConfig,
+                                                     apply_fused)
+    from egregora_tpu.utils.weights import fast_init_like
+
+    cfg = VocoderConfig(upsample_initial=128)
+    model = SRVocoder(cfg)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((2, 16, cfg.n_mels))
+                      .astype(np.float32))
+    p = fast_init_like(
+        jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), mel)), 0)
+    ref = np.asarray(model.apply(p, mel), np.float32)
+    os.environ["EGREGORA_MRF_PATH"] = "rows"
+    try:
+        got = np.asarray(apply_fused(p, mel, cfg, interpret=True),
+                         np.float32)
+    finally:
+        os.environ.pop("EGREGORA_MRF_PATH", None)
+    assert np.abs(ref - got).max() <= 0.01

@@ -146,6 +146,7 @@ def main():
         ("flax-nwc", flax_fwd),
         ("subpix", subpix_fwd),
         ("no-mrf", nomrf_fwd),
+        ("fused-rows", fused("rows")),
         ("fused-packed", fused("packed")),
         ("fused-pallas", fused("pallas")),
         ("fused-dense", fused("dense")),
