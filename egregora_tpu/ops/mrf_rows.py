@@ -47,20 +47,25 @@ def _leaky(x):
 
 
 def _conv_rows(a, w, bias, k: int, d: int):
-    """[L, C] x [k, C, C] dilated k-tap conv via one lane-concat MXU dot.
+    """[L, C] x [k, C, C] dilated k-tap conv as k accumulated MXU dots.
 
+    A single [L, k*C] lane-concat of the shifted taps would be the
+    wider matmul, but Mosaic refuses to concatenate operands whose
+    sublane offsets differ ("result/input offset mismatch on non-concat
+    dimension" — the taps start at j*d mod 16), while elementwise adds
+    relayout automatically; per-tap dots + f32 accumulation compile.
     Edge samples read zero-pads and are wrong; callers keep a halo."""
     ln, c = a.shape
     hw = (k - 1) // 2
     s = hw * d
     ap = jnp.pad(a, ((s, s), (0, 0)))
-    taps = [jax.lax.slice(ap, (j * d, 0), (j * d + ln, c))
-            for j in range(k)]
-    cat = jnp.concatenate(taps, axis=-1)            # [L, k*C]
-    out = jax.lax.dot_general(cat, w.reshape(k * c, c),
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    return (out + bias.astype(jnp.float32)).astype(a.dtype)
+    out = jnp.broadcast_to(bias.astype(jnp.float32)[None, :], (ln, c))
+    for j in range(k):
+        tap = jax.lax.slice(ap, (j * d, 0), (j * d + ln, c))
+        out = out + jax.lax.dot_general(tap, w[j],
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+    return out.astype(a.dtype)
 
 
 def _branch_kernel(x_ref, wd_ref, bd_ref, wu_ref, bu_ref, o_ref, *,
