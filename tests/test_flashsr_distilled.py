@@ -109,12 +109,14 @@ needs_istft = pytest.mark.skipif(not PRETRAINED_ISTFT.exists(),
 
 @needs_istft
 def test_istft_trio_improves_lsd():
-    """The DEFAULT-served trio's quality gate — same bars as the
-    HiFi-GAN trio's (LSD < 7 absolute / SI-SDR > +4 on the seed-123
-    chunk pair).  Shipped metrics: LSD 4.95 / SI-SDR +8.42 here and
-    LSD 4.91-5.73 across all evaluate() seeds (pretrained_istft.json),
-    BEATING the HiFi-GAN trio — which is why resolve_flashsr serves it
-    by default (VERDICT r3 next #1)."""
+    """The DEFAULT-served trio's quality gate, at VERDICT r4 #3's bars:
+    LSD < 7 absolute AND SI-SDR >= 8.79 (the HiFi-GAN trio's gate-pair
+    value) on the seed-123 chunk pair.  Shipped metrics: LSD 5.29 /
+    SI-SDR 9.63 here and LSD 5.44-6.19 across all evaluate() seeds
+    (pretrained_istft.json) — the round-5 exciter head wins SI-SDR on
+    every eval-v2 seed vs the r4 trio (avg +1.2 dB) at a deliberate
+    +0.3-0.5 LSD cost (the two metrics trade on incoherent harmonic
+    content; see the json comment)."""
     from egregora_tpu.eval.metrics import lsd_sisdr_report
 
     cfg, params = load_pretrained_with_cfg(PRETRAINED_ISTFT)
@@ -130,7 +132,24 @@ def test_istft_trio_improves_lsd():
     sisdr_md = float(rep_md["si_sdr_db"])
     assert lsd_md < 7.0, f"absolute LSD {lsd_md:.2f} dB >= 7 dB gate"
     assert lsd_md < lsd_pt - 20.0, (lsd_md, lsd_pt)
-    assert sisdr_md > 4.0, f"SI-SDR {sisdr_md:.2f} dB below +4 dB guard"
+    assert sisdr_md > 8.79, (f"SI-SDR {sisdr_md:.2f} dB below the HiFi-GAN "
+                             "trio's 8.79 gate (VERDICT r4 #3)")
+
+
+@needs_istft
+def test_istft_trio_monitor_beats_passthrough():
+    """VERDICT r4 #3's second bar: on the recorded monitor eval the
+    served trio does NOT lose SI-SDR to passthrough.  Asserts the
+    shipped gate record (written by tools/istft_gate.py on the fixed
+    eval-v2 seeds; recomputing evaluate() here would add ~10 CPU-min
+    to the suite) plus its per-seed LSD bars."""
+    import json as _json
+
+    rec = _json.loads(PRETRAINED_ISTFT.with_suffix(".json").read_text())
+    assert rec["sisdr_model"] >= rec["sisdr_passthrough"], rec
+    assert rec["gate_pair_seed123"]["sisdr"] >= 8.79, rec
+    spread = rec["eval_spread_n2"]
+    assert spread and all(v["lsd_model"] <= 6.5 for v in spread.values())
 
 def test_spectral_vocoder_forward_and_cfg_roundtrip():
     import dataclasses as dc

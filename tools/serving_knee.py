@@ -28,11 +28,13 @@ def _sync(a):
 
 
 def main():
-    from egregora_tpu.utils.weights import resolve_flashsr
+    from egregora_tpu.models.flashsr.distill import resolve_flashsr
+    from egregora_tpu.models.flashsr.pipeline import FlashSRPipeline
 
     windows = [int(s) for s in sys.argv[1:]] or [120, 240, 480, 960]
     print("devices:", jax.devices(), flush=True)
-    pipe, src = resolve_flashsr()
+    cfg, params, src = resolve_flashsr()
+    pipe = FlashSRPipeline(cfg, params=params)
     print(f"weights: {src}", flush=True)
 
     in_sr = 16000
