@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ...ops.attention import mha
+from ...ops.resize import upsample2x_nearest
 from .unet import timestep_embedding
 
 
@@ -168,8 +169,11 @@ class LDMUNet(nn.Module):
                     h = attn(f"output_blocks_{idx}", sub, h)
                     sub += 1
                 if level and i == c.num_res_blocks:
-                    b, f, m, cc = h.shape
-                    h = jax.image.resize(h, (b, f * 2, m * 2, cc), method="nearest")
+                    # broadcast-reshape == nearest x2 exactly; the
+                    # resize gather was a measured UNet wall
+                    # (tools/unet_lab.py no-resize variant)
+                    cc = h.shape[-1]
+                    h = upsample2x_nearest(h)
                     h = nn.Conv(cc, (3, 3), dtype=c.dtype,
                                 name=f"output_blocks_{idx}_{sub}_conv")(h)
                     ds //= 2

@@ -22,6 +22,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ...ops.resize import upsample2x_nearest
+
 
 @dataclasses.dataclass(frozen=True)
 class VAEConfig:
@@ -132,8 +134,10 @@ class Decoder(nn.Module):
             for _ in range(c.num_res_blocks):
                 h = ResBlock(ch, c.groups, c.dtype)(h)
             if i < len(mults) - 1:
-                b, f, m, cc = h.shape
-                h = jax.image.resize(h, (b, f * 2, m * 2, cc), method="nearest")
+                # broadcast-reshape == nearest x2 exactly; jax.image.
+                # resize's gather cost 17.5 ms of the 98 ms decode
+                # stage at the bench geometry (tools/vae_lab.py)
+                h = upsample2x_nearest(h)
                 h = nn.Conv(ch, (3, 3), dtype=c.dtype)(h)
         h = nn.GroupNorm(num_groups=c.groups, dtype=c.dtype)(h)
         h = nn.silu(h)
