@@ -14,12 +14,12 @@ Upsample), ``out.{0,2}`` — so a real checkpoint maps leaf-for-leaf
 through ``ldm_unet_name_map`` + ``convert_state_dict``.
 
 TPU-first: NHWC, bf16 matmuls with f32 norms, attention via
-ops.attention.mha (query blocks unrolled on TPU — the in-context
-engine lab in tools/attn_lab.py, incl. why the Pallas flash kernel
-LOSES at these head dims, lives in ops/attention.py), nearest-resize
-upsampling
-(one fused XLA op), zero-init output convs (LDM convention — also the
-right init for distillation).
+ops.attention.mha (round 5: the whole-row Pallas kernel with exact
+softmax is the TPU default — in-context it beat the unrolled engine
+by ~14 ms here and ~9 ms in the VAE; see ops/attn_pallas.py and the
+labs in tools/attn_kernel_lab.py), broadcast-reshape nearest
+upsampling (ops/resize.py — exact, gather-free), zero-init output
+convs (LDM convention — also the right init for distillation).
 
 The compact attention-free ``StudentUNet`` (unet.py) remains the
 architecture of the shipped synthetic-distilled weights;
