@@ -115,8 +115,13 @@ def main():
             out = out + y.reshape(B, F, M, 1)
         return (out + 0.1).sum()
 
+    def dec_pallas(x):
+        from egregora_tpu.ops.conv_edge import conv3x3_out1
+        return conv3x3_out1(x, w1, jnp.full((1,), 0.1, jnp.float32)).sum()
+
     variants = [("dec-conv1", dec_conv1, x64), ("dec-conv128", dec_conv128, x64),
                 ("dec-matmul", dec_matmul, x64), ("dec-3x1d", dec_3x1d, x64),
+                ("dec-pallas", dec_pallas, x64),
                 ("enc-conv", enc_conv, x1),
                 ("enc-matmul", enc_matmul, x1)]
     only = set(sys.argv[1:])
